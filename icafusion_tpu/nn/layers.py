@@ -1,0 +1,557 @@
+"""Backbone/neck op library — NHWC flax modules for the YAML graph DSL.
+
+Behavioral counterparts of reference models/common.py and models/experimental.py,
+re-designed for TPU:
+
+- NHWC layout throughout (channel-last maps onto the 128-lane VPU/MXU tiling).
+- Compute dtype is configurable (bf16 on TPU); params live in fp32.
+- BatchNorm matches the reference's YOLOv5 settings (eps=1e-3, torch momentum 0.03
+  -> flax momentum 0.97; reference utils/torch_utils.py initialize_weights).
+- No in-place ops, no dynamic shapes: everything traces once under jit.
+
+Each class cites the reference module it is behavior-compatible with.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+# torch BatchNorm2d(momentum=0.03) == flax BatchNorm(momentum=0.97)
+BN_MOMENTUM = 0.97
+BN_EPS = 1e-3
+
+
+def autopad(k, p=None):
+    """Pad to 'same' for odd kernels; matches reference models/common.py:36-40."""
+    if p is None:
+        p = k // 2 if isinstance(k, int) else tuple(x // 2 for x in k)
+    return p
+
+
+def _pair(x):
+    return (x, x) if isinstance(x, int) else tuple(x)
+
+
+def silu(x):
+    return jax.nn.silu(x)
+
+
+def _act_fn(act) -> Callable:
+    """Resolve the 'act' ctor arg: True->SiLU, False/None->identity (common.py:54)."""
+    if act is True:
+        return silu
+    if act in (False, None):
+        return lambda x: x
+    if callable(act):
+        return act
+    raise ValueError(f"unsupported activation spec: {act!r}")
+
+
+class Conv(nn.Module):
+    """Conv2d(bias=False) + BatchNorm + SiLU (reference models/common.py:48-60)."""
+    c1: int
+    c2: int
+    k: Union[int, Tuple[int, int]] = 1
+    s: Union[int, Tuple[int, int]] = 1
+    p: Optional[Union[int, Tuple[int, int]]] = None
+    g: int = 1
+    act: Any = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        k = _pair(self.k)
+        s = _pair(self.s)
+        p = _pair(autopad(self.k, self.p))
+        x = nn.Conv(self.c2, kernel_size=k, strides=s,
+                    padding=[(p[0], p[0]), (p[1], p[1])],
+                    feature_group_count=self.g, use_bias=False,
+                    dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS, dtype=self.dtype, name="bn")(x)
+        return _act_fn(self.act)(x)
+
+
+def DWConv(c1, c2, k=1, s=1, act=True, dtype=jnp.float32):
+    """Depthwise conv = grouped Conv with g=gcd(c1,c2) (common.py:43-45)."""
+    return Conv(c1, c2, k, s, g=math.gcd(c1, c2), act=act, dtype=dtype)
+
+
+class Bottleneck(nn.Module):
+    """Standard bottleneck: 1x1 -> 3x3 with optional residual (common.py:184-194)."""
+    c1: int
+    c2: int
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y = Conv(self.c1, c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        y = Conv(c_, self.c2, 3, 1, g=self.g, dtype=self.dtype, name="cv2")(y, train)
+        return x + y if (self.shortcut and self.c1 == self.c2) else y
+
+
+class BottleneckCSP(nn.Module):
+    """CSP bottleneck, v4-style with LeakyReLU mix path (common.py:197-213)."""
+    c1: int
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = Conv(self.c1, c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            y1 = Bottleneck(c_, c_, self.shortcut, self.g, e=1.0,
+                            dtype=self.dtype, name=f"m{i}")(y1, train)
+        y1 = nn.Conv(c_, kernel_size=(1, 1), use_bias=False, dtype=self.dtype, name="cv3")(y1)
+        y2 = nn.Conv(c_, kernel_size=(1, 1), use_bias=False, dtype=self.dtype, name="cv2")(x)
+        y = jnp.concatenate([y1, y2], axis=-1)
+        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS, dtype=self.dtype, name="bn")(y)
+        y = nn.leaky_relu(y, negative_slope=0.1)
+        return Conv(2 * c_, self.c2, 1, 1, dtype=self.dtype, name="cv4")(y, train)
+
+
+class C3(nn.Module):
+    """CSP bottleneck with 3 convs — the backbone workhorse (common.py:216-227)."""
+    c1: int
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    def _inner(self, y, train):
+        for i in range(self.n):
+            y = Bottleneck(self.c_, self.c_, self.shortcut, self.g, e=1.0,
+                           dtype=self.dtype, name=f"m{i}")(y, train)
+        return y
+
+    @property
+    def c_(self):
+        return int(self.c2 * self.e)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y1 = Conv(self.c1, self.c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        y1 = self._inner(y1, train)
+        y2 = Conv(self.c1, self.c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        y = jnp.concatenate([y1, y2], axis=-1)
+        return Conv(2 * self.c_, self.c2, 1, dtype=self.dtype, name="cv3")(y, train)
+
+
+class TransformerLayer(nn.Module):
+    """ViT layer with LayerNorms removed (common.py:63-77); used inside C3TR."""
+    c: int
+    num_heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # x: (seq, batch, c) in the reference; we use (batch, seq, c).
+        q = nn.Dense(self.c, use_bias=False, dtype=self.dtype, name="q")(x)
+        k = nn.Dense(self.c, use_bias=False, dtype=self.dtype, name="k")(x)
+        v = nn.Dense(self.c, use_bias=False, dtype=self.dtype, name="v")(x)
+        a = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, qkv_features=self.c, out_features=self.c,
+            dtype=self.dtype, name="ma")(q, k, v)
+        x = a + x
+        y = nn.Dense(self.c, use_bias=False, dtype=self.dtype, name="fc1")(x)
+        y = nn.Dense(self.c, use_bias=False, dtype=self.dtype, name="fc2")(y)
+        return y + x
+
+
+class TransformerBlock(nn.Module):
+    """Flatten -> learned pos-emb -> N TransformerLayers -> unflatten (common.py:80-106)."""
+    c1: int
+    c2: int
+    num_heads: int
+    num_layers: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.c1 != self.c2:
+            x = Conv(self.c1, self.c2, dtype=self.dtype, name="conv")(x, train)
+        b, h, w, c = x.shape
+        p = x.reshape(b, h * w, c)
+        e = nn.Dense(self.c2, dtype=self.dtype, name="linear")(p)
+        x = p + e
+        for i in range(self.num_layers):
+            x = TransformerLayer(self.c2, self.num_heads, dtype=self.dtype,
+                                 name=f"tr{i}")(x, train)
+        return x.reshape(b, h, w, self.c2)
+
+
+class C3TR(nn.Module):
+    """C3 whose inner stack is a TransformerBlock (common.py:230-235)."""
+    c1: int
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = Conv(self.c1, c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        y1 = TransformerBlock(c_, c_, 4, self.n, dtype=self.dtype, name="m")(y1, train)
+        y2 = Conv(self.c1, c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        y = jnp.concatenate([y1, y2], axis=-1)
+        return Conv(2 * c_, self.c2, 1, dtype=self.dtype, name="cv3")(y, train)
+
+
+def _max_pool_same(x, k: int):
+    """k x k max pool, stride 1, 'same' padding with -inf (torch MaxPool2d semantics)."""
+    p = k // 2
+    return nn.max_pool(x, window_shape=(k, k), strides=(1, 1),
+                       padding=[(p, p), (p, p)])
+
+
+class SPP(nn.Module):
+    """Spatial pyramid pooling (common.py:238-249)."""
+    c1: int
+    c2: int
+    k: Tuple[int, ...] = (5, 9, 13)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c1 // 2
+        x = Conv(self.c1, c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        ys = [x] + [_max_pool_same(x, k) for k in self.k]
+        y = jnp.concatenate(ys, axis=-1)
+        return Conv(c_ * (len(self.k) + 1), self.c2, 1, 1, dtype=self.dtype, name="cv2")(y, train)
+
+
+class SPPF(nn.Module):
+    """SPP-Fast: three chained k-pools == SPP(k,(k,2k-1,3k-2)) (common.py:252-267)."""
+    c1: int
+    c2: int
+    k: int = 5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c1 // 2
+        x = Conv(self.c1, c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        y1 = _max_pool_same(x, self.k)
+        y2 = _max_pool_same(y1, self.k)
+        y3 = _max_pool_same(y2, self.k)
+        y = jnp.concatenate([x, y1, y2, y3], axis=-1)
+        return Conv(c_ * 4, self.c2, 1, 1, dtype=self.dtype, name="cv2")(y, train)
+
+
+class Focus(nn.Module):
+    """Space-to-depth (2x2 pixel de-interleave) then Conv (common.py:270-281)."""
+    c1: int
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: Optional[int] = None
+    g: int = 1
+    act: Any = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # NHWC: gather even/odd rows and cols; channel order matches the
+        # reference concat order [::2 ::2, 1::2 ::2, ::2 1::2, 1::2 1::2].
+        y = jnp.concatenate([
+            x[:, ::2, ::2, :], x[:, 1::2, ::2, :],
+            x[:, ::2, 1::2, :], x[:, 1::2, 1::2, :]], axis=-1)
+        return Conv(self.c1 * 4, self.c2, self.k, self.s, self.p, self.g,
+                    self.act, dtype=self.dtype, name="conv")(y, train)
+
+
+class Contract(nn.Module):
+    """Width/height into channels, gain s (common.py:285-296)."""
+    gain: int = 2
+
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        s = self.gain
+        x = x.reshape(b, h // s, s, w // s, s, c)
+        x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))     # b, h/s, w/s, s, s, c
+        # reference (NCHW) ends with channel order (s*s, C) major->minor
+        return x.reshape(b, h // s, w // s, s * s * c)
+
+
+class Expand(nn.Module):
+    """Channels into width/height, gain s (common.py:299-310)."""
+    gain: int = 2
+
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        s = self.gain
+        x = x.reshape(b, h, w, s, s, c // (s * s))
+        x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))     # b, h, s, w, s, c/s^2
+        return x.reshape(b, h * s, w * s, c // (s * s))
+
+
+class Concat(nn.Module):
+    """Concatenate a list of tensors; YAML dim 1 == channel == NHWC axis -1
+    (common.py:313-321)."""
+    dimension: int = 1
+
+    def __call__(self, xs, train: bool = False):
+        axis = -1 if self.dimension == 1 else self.dimension
+        return jnp.concatenate(list(xs), axis=axis)
+
+
+class Upsample(nn.Module):
+    """nn.Upsample analog; YAML args [None, scale, mode] (e.g. Transfusion head rows)."""
+    size: Optional[Tuple[int, int]] = None
+    scale_factor: Optional[float] = None
+    mode: str = "nearest"
+
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        if self.size is not None:
+            nh, nw = self.size
+        else:
+            nh, nw = int(h * self.scale_factor), int(w * self.scale_factor)
+        if self.mode == "nearest" and nh % h == 0 and nw % w == 0:
+            # exact integer nearest upsample: repeat (cheap, layout-friendly)
+            x = jnp.repeat(x, nh // h, axis=1)
+            return jnp.repeat(x, nw // w, axis=2)
+        method = {"nearest": "nearest", "bilinear": "linear"}[self.mode]
+        return jax.image.resize(x, (b, nh, nw, c), method=method)
+
+
+class BatchNorm2d(nn.Module):
+    """Standalone BatchNorm layer for YAML rows using nn.BatchNorm2d."""
+    c1: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                            epsilon=BN_EPS, dtype=self.dtype, name="bn")(x)
+
+
+class MaxPool2d(nn.Module):
+    """Standalone max pool for YAML rows (yolov3-tiny uses nn.MaxPool2d)."""
+    k: int = 2
+    s: int = 2
+    p: int = 0
+
+    def __call__(self, x, train: bool = False):
+        return nn.max_pool(x, window_shape=(self.k, self.k), strides=(self.s, self.s),
+                           padding=[(self.p, self.p), (self.p, self.p)])
+
+
+# ---------------------------------------------------------------------------
+# experimental.py counterparts
+# ---------------------------------------------------------------------------
+
+class CrossConv(nn.Module):
+    """Cross conv downsample: (1,k) then (k,1) (experimental.py:11-22)."""
+    c1: int
+    c2: int
+    k: int = 3
+    s: int = 1
+    g: int = 1
+    e: float = 1.0
+    shortcut: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y = Conv(self.c1, c_, (1, self.k), (1, self.s), dtype=self.dtype, name="cv1")(x, train)
+        y = Conv(c_, self.c2, (self.k, 1), (self.s, 1), g=self.g,
+                 dtype=self.dtype, name="cv2")(y, train)
+        return x + y if (self.shortcut and self.c1 == self.c2) else y
+
+
+class Sum(nn.Module):
+    """(Weighted) sum of n inputs (experimental.py:25-43)."""
+    n: int
+    weight: bool = False
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        y = xs[0]
+        if self.weight:
+            w = self.param("w", lambda k: -jnp.arange(1.0, self.n) / 2)
+            w = jax.nn.sigmoid(w) * 2
+            for i in range(self.n - 1):
+                y = y + xs[i + 1] * w[i]
+        else:
+            for i in range(self.n - 1):
+                y = y + xs[i + 1]
+        return y
+
+
+class GhostConv(nn.Module):
+    """Ghost conv: half real features + cheap depthwise 5x5 (experimental.py:46-56)."""
+    c1: int
+    c2: int
+    k: int = 1
+    s: int = 1
+    g: int = 1
+    act: Any = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c2 // 2
+        y = Conv(self.c1, c_, self.k, self.s, None, self.g, self.act,
+                 dtype=self.dtype, name="cv1")(x, train)
+        y2 = Conv(c_, c_, 5, 1, None, c_, self.act, dtype=self.dtype, name="cv2")(y, train)
+        return jnp.concatenate([y, y2], axis=-1)
+
+
+class GhostBottleneck(nn.Module):
+    """Ghost bottleneck (experimental.py:59-71)."""
+    c1: int
+    c2: int
+    k: int = 3
+    s: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c2 // 2
+        y = GhostConv(self.c1, c_, 1, 1, dtype=self.dtype, name="conv0")(x, train)
+        if self.s == 2:
+            y = DWConv(c_, c_, self.k, self.s, act=False, dtype=self.dtype)(y, train)
+        y = GhostConv(c_, self.c2, 1, 1, act=False, dtype=self.dtype, name="conv2")(y, train)
+        if self.s == 2:
+            sc = DWConv(self.c1, self.c1, self.k, self.s, act=False, dtype=self.dtype)(x, train)
+            sc = Conv(self.c1, self.c2, 1, 1, act=False, dtype=self.dtype, name="sc_pw")(sc, train)
+        else:
+            sc = x
+        return y + sc
+
+
+class MixConv2d(nn.Module):
+    """Mixed-kernel conv with residual (experimental.py:74-95), equal_ch split."""
+    c1: int
+    c2: int
+    k: Tuple[int, ...] = (1, 3)
+    s: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        groups = len(self.k)
+        # equal_ch split: floor(linspace) bucket counts (experimental.py:79-81)
+        idx = jnp.floor(jnp.linspace(0, groups - 1e-6, self.c2))
+        c_ = [int((idx == g).sum()) for g in range(groups)]
+        ys = []
+        for g, kk in enumerate(self.k):
+            ys.append(nn.Conv(c_[g], kernel_size=(kk, kk), strides=(self.s, self.s),
+                              padding=[(kk // 2, kk // 2)] * 2, use_bias=False,
+                              dtype=self.dtype, name=f"m{g}")(x))
+        y = jnp.concatenate(ys, axis=-1)
+        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS, dtype=self.dtype, name="bn")(y)
+        return x + nn.leaky_relu(y, negative_slope=0.1)
+
+
+# ---------------------------------------------------------------------------
+# channel/spatial attention (common.py:893-982 — shipped but unused by configs)
+# ---------------------------------------------------------------------------
+
+class SE_Block(nn.Module):
+    """Squeeze-and-excitation (common.py:893-913)."""
+    c1: int
+    ratio: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        y = jnp.mean(x, axis=(1, 2))
+        y = nn.Dense(c // self.ratio, use_bias=False, dtype=self.dtype, name="fc1")(y)
+        y = jax.nn.relu(y)
+        y = nn.Dense(c, use_bias=False, dtype=self.dtype, name="fc2")(y)
+        y = jax.nn.sigmoid(y)
+        return x * y[:, None, None, :]
+
+
+class ChannelAttention(nn.Module):
+    """CBAM channel gate (common.py:916-939)."""
+    c1: int
+    ratio: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        avg = jnp.mean(x, axis=(1, 2))
+        mx = jnp.max(x, axis=(1, 2))
+        mlp = nn.Sequential([
+            nn.Dense(self.c1 // self.ratio, use_bias=False, dtype=self.dtype),
+            jax.nn.relu,
+            nn.Dense(self.c1, use_bias=False, dtype=self.dtype)])
+        y = jax.nn.sigmoid(mlp(avg) + mlp(mx))
+        return x * y[:, None, None, :]
+
+
+class SpatialAttention(nn.Module):
+    """CBAM spatial gate (common.py:942-957)."""
+    kernel_size: int = 7
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        avg = jnp.mean(x, axis=-1, keepdims=True)
+        mx = jnp.max(x, axis=-1, keepdims=True)
+        y = jnp.concatenate([avg, mx], axis=-1)
+        p = self.kernel_size // 2
+        y = nn.Conv(1, kernel_size=(self.kernel_size, self.kernel_size),
+                    padding=[(p, p), (p, p)], use_bias=False,
+                    dtype=self.dtype, name="conv")(y)
+        return x * jax.nn.sigmoid(y)
+
+
+class CBAM(nn.Module):
+    """Channel then spatial attention (common.py:960-982)."""
+    c1: int
+    ratio: int = 16
+    kernel_size: int = 7
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ChannelAttention(self.c1, self.ratio, dtype=self.dtype, name="ca")(x, train)
+        return SpatialAttention(self.kernel_size, dtype=self.dtype, name="sa")(x, train)
+
+
+class Classify(nn.Module):
+    """Classification head x(b,h,w,c1) -> x(b,c2) (common.py:556-566)."""
+    c1: int
+    c2: int
+    k: int = 1
+    s: int = 1
+    g: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        xs = x if isinstance(x, (list, tuple)) else [x]
+        z = jnp.concatenate([jnp.mean(y, axis=(1, 2), keepdims=True) for y in xs], axis=-1)
+        z = nn.Conv(self.c2, kernel_size=(self.k, self.k), strides=(self.s, self.s),
+                    padding=[(autopad(self.k),) * 2] * 2, feature_group_count=self.g,
+                    dtype=self.dtype, name="conv")(z)
+        return z.reshape(z.shape[0], -1)
