@@ -226,20 +226,17 @@ class ICAFusionModel(nn.Module):
     cfg: ModelConfig
     dtype: Dtype = jnp.float32
 
+    @nn.nowrap
     def detect_layer(self) -> ResolvedLayer:
-        resolved, _ = resolve_model(self.cfg)
-        assert resolved[-1].module == "Detect", "last layer must be Detect"
-        return resolved[-1]
+        return detect_layer(self.cfg)
 
+    @nn.nowrap
     def strides(self) -> Tuple[int, ...]:
-        from icafusion_tpu.models.detect import default_strides
-        nc, anchors, ch = self.detect_layer().args
-        return default_strides(len(anchors))
+        return model_strides(self.cfg)
 
+    @nn.nowrap
     def anchors_grid_units(self) -> np.ndarray:
-        nc, anchors, ch = self.detect_layer().args
-        d = Detect(nc=nc, anchors=anchors, ch=ch)
-        return d.anchors_grid_units()
+        return anchors_grid_units(self.cfg)
 
     @nn.compact
     def __call__(self, x, x2=None, train: bool = False, decode: Optional[bool] = None):
@@ -273,6 +270,30 @@ class ICAFusionModel(nn.Module):
             if r.i in save:
                 y[r.i] = out
         return out
+
+
+def detect_layer(cfg: ModelConfig) -> ResolvedLayer:
+    resolved, _ = resolve_model(cfg)
+    assert resolved[-1].module == "Detect", "last layer must be Detect"
+    return resolved[-1]
+
+
+def model_strides(cfg: ModelConfig) -> Tuple[int, ...]:
+    from icafusion_tpu.models.detect import default_strides
+    nc, anchors, ch = detect_layer(cfg).args
+    return default_strides(len(anchors))
+
+
+def anchors_grid_units(cfg: ModelConfig) -> np.ndarray:
+    """(nl, na, 2) anchors in grid units for the loss (yolo_test.py:105)."""
+    from icafusion_tpu.models.detect import check_anchor_order, default_strides
+    nc, anchors, ch = detect_layer(cfg).args
+    nl = len(anchors)
+    na = len(anchors[0]) // 2
+    strides = default_strides(nl)
+    a = np.asarray(anchors, dtype=np.float32).reshape(nl, na, 2)
+    a = check_anchor_order(a, strides)
+    return a / np.asarray(strides, np.float32).reshape(-1, 1, 1)
 
 
 def build_model(cfg: ModelConfig, dtype=jnp.float32) -> ICAFusionModel:
