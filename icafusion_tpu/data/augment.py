@@ -1,0 +1,194 @@
+"""Host-side paired augmentation (numpy/cv2) with explicit RNG.
+
+Behavioral counterparts of reference utils/datasets.py — applied identically to both
+modalities with a single random draw (the core multispectral invariant):
+
+- letterbox                 (datasets.py:1404-1444; auto-rect branch disabled there)
+- paired 4-mosaic geometry  (datasets.py:1208-1309)
+- joint random perspective  (datasets.py:1535-1630 — one matrix M for both images,
+                             one label set)
+- HSV jitter                (datasets.py:1129-1140 — independent draw per modality)
+- box_candidates filter     (datasets.py:1633-1638)
+
+All randomness flows through an explicit np.random.Generator (the reference uses the
+global `random` module — a reproducibility hazard across DataLoader workers that we
+drop). Images are HWC RGB uint8 throughout.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import cv2
+import numpy as np
+
+
+def xywhn2xyxy(x, w, h, padw=0.0, padh=0.0):
+    """Normalized cls-less xywh (n,4) -> pixel xyxy (general.py:343-350 analog)."""
+    y = np.empty_like(x, dtype=np.float32)
+    y[:, 0] = w * (x[:, 0] - x[:, 2] / 2) + padw
+    y[:, 1] = h * (x[:, 1] - x[:, 3] / 2) + padh
+    y[:, 2] = w * (x[:, 0] + x[:, 2] / 2) + padw
+    y[:, 3] = h * (x[:, 1] + x[:, 3] / 2) + padh
+    return y
+
+
+def xyxy2xywhn(x, w, h):
+    """Pixel xyxy (n,4) -> normalized xywh."""
+    y = np.empty_like(x, dtype=np.float32)
+    y[:, 0] = ((x[:, 0] + x[:, 2]) / 2) / w
+    y[:, 1] = ((x[:, 1] + x[:, 3]) / 2) / h
+    y[:, 2] = (x[:, 2] - x[:, 0]) / w
+    y[:, 3] = (x[:, 3] - x[:, 1]) / h
+    return y
+
+
+def letterbox(img, new_shape=640, color=(114, 114, 114), scaleup=True):
+    """Aspect-preserving resize + center pad to exactly new_shape
+    (datasets.py:1404-1444, auto=False path incl. the +-0.1 rounding rule)."""
+    shape = img.shape[:2]
+    if isinstance(new_shape, int):
+        new_shape = (new_shape, new_shape)
+    r = min(new_shape[0] / shape[0], new_shape[1] / shape[1])
+    if not scaleup:
+        r = min(r, 1.0)
+    ratio = (r, r)
+    new_unpad = (int(round(shape[1] * r)), int(round(shape[0] * r)))
+    dw = (new_shape[1] - new_unpad[0]) / 2
+    dh = (new_shape[0] - new_unpad[1]) / 2
+    if shape[::-1] != new_unpad:
+        img = cv2.resize(img, new_unpad, interpolation=cv2.INTER_LINEAR)
+    top, bottom = int(round(dh - 0.1)), int(round(dh + 0.1))
+    left, right = int(round(dw - 0.1)), int(round(dw + 0.1))
+    img = cv2.copyMakeBorder(img, top, bottom, left, right,
+                             cv2.BORDER_CONSTANT, value=color)
+    return img, ratio, (dw, dh)
+
+
+def augment_hsv(img, rng: np.random.Generator, hgain=0.015, sgain=0.7, vgain=0.4):
+    """In-place HSV LUT jitter (datasets.py:1129-1140). img: HWC RGB uint8."""
+    r = rng.uniform(-1, 1, 3) * [hgain, sgain, vgain] + 1
+    hue, sat, val = cv2.split(cv2.cvtColor(img, cv2.COLOR_RGB2HSV))
+    x = np.arange(0, 256, dtype=np.int16)
+    lut_hue = ((x * r[0]) % 180).astype(np.uint8)
+    lut_sat = np.clip(x * r[1], 0, 255).astype(np.uint8)
+    lut_val = np.clip(x * r[2], 0, 255).astype(np.uint8)
+    img_hsv = cv2.merge((cv2.LUT(hue, lut_hue), cv2.LUT(sat, lut_sat),
+                         cv2.LUT(val, lut_val)))
+    cv2.cvtColor(img_hsv, cv2.COLOR_HSV2RGB, dst=img)
+
+
+def box_candidates(box1, box2, wh_thr=2, ar_thr=20, area_thr=0.1, eps=1e-16):
+    """Keep boxes that survive augmentation (datasets.py:1633-1638). box (4,n)."""
+    w1, h1 = box1[2] - box1[0], box1[3] - box1[1]
+    w2, h2 = box2[2] - box2[0], box2[3] - box2[1]
+    ar = np.maximum(w2 / (h2 + eps), h2 / (w2 + eps))
+    return (w2 > wh_thr) & (h2 > wh_thr) & (w2 * h2 / (w1 * h1 + eps) > area_thr) & (ar < ar_thr)
+
+
+def random_perspective_pair(img_rgb, img_ir, targets, rng: np.random.Generator,
+                            degrees=0.0, translate=0.1, scale=0.5, shear=0.0,
+                            perspective=0.0, border=(0, 0)):
+    """One sampled affine/perspective M applied to BOTH modalities and the single
+    label set (datasets.py:1535-1630). targets: (n,5) [cls, x1,y1,x2,y2] pixels."""
+    height = img_rgb.shape[0] + border[0] * 2
+    width = img_rgb.shape[1] + border[1] * 2
+
+    C = np.eye(3)
+    C[0, 2] = -img_rgb.shape[1] / 2
+    C[1, 2] = -img_rgb.shape[0] / 2
+    P = np.eye(3)
+    P[2, 0] = rng.uniform(-perspective, perspective)
+    P[2, 1] = rng.uniform(-perspective, perspective)
+    R = np.eye(3)
+    a = rng.uniform(-degrees, degrees)
+    s = rng.uniform(1 - scale, 1 + scale)
+    R[:2] = cv2.getRotationMatrix2D(angle=a, center=(0, 0), scale=s)
+    S = np.eye(3)
+    S[0, 1] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
+    S[1, 0] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
+    T = np.eye(3)
+    T[0, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * width
+    T[1, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * height
+    M = T @ S @ R @ P @ C
+
+    if (border[0] != 0) or (border[1] != 0) or (M != np.eye(3)).any():
+        if perspective:
+            img_rgb = cv2.warpPerspective(img_rgb, M, dsize=(width, height),
+                                          borderValue=(114, 114, 114))
+            img_ir = cv2.warpPerspective(img_ir, M, dsize=(width, height),
+                                         borderValue=(114, 114, 114))
+        else:
+            img_rgb = cv2.warpAffine(img_rgb, M[:2], dsize=(width, height),
+                                     borderValue=(114, 114, 114))
+            img_ir = cv2.warpAffine(img_ir, M[:2], dsize=(width, height),
+                                    borderValue=(114, 114, 114))
+
+    n = len(targets)
+    if n:
+        xy = np.ones((n * 4, 3))
+        xy[:, :2] = targets[:, [1, 2, 3, 4, 1, 4, 3, 2]].reshape(n * 4, 2)
+        xy = xy @ M.T
+        xy = (xy[:, :2] / xy[:, 2:3] if perspective else xy[:, :2]).reshape(n, 8)
+        x = xy[:, [0, 2, 4, 6]]
+        y = xy[:, [1, 3, 5, 7]]
+        new = np.stack([x.min(1), y.min(1), x.max(1), y.max(1)], axis=1)
+        new[:, [0, 2]] = new[:, [0, 2]].clip(0, width)
+        new[:, [1, 3]] = new[:, [1, 3]].clip(0, height)
+        keep = box_candidates(box1=targets[:, 1:5].T * s, box2=new.T, area_thr=0.10)
+        targets = targets[keep].copy()
+        targets[:, 1:5] = new[keep]
+    return img_rgb, img_ir, targets
+
+
+def mosaic_pair(load_fn, index, all_indices, img_size: int,
+                labels_getter, rng: np.random.Generator, hyp):
+    """Paired 4-tile mosaic + joint perspective (datasets.py:1208-1309).
+
+    load_fn(i) -> (img_rgb, img_ir) both HWC RGB uint8, already max-side resized
+    to img_size; labels_getter(i) -> (n,5) [cls, xn, yn, wn, hn] normalized.
+    Returns (img_rgb 2s x 2s -> s x s after border crop, img_ir, targets_xyxy_px)."""
+    s = img_size
+    border = (-s // 2, -s // 2)
+    yc = int(rng.uniform(s // 2, 2 * s - s // 2))
+    xc = int(rng.uniform(s // 2, 2 * s - s // 2))
+    indices = [index] + [all_indices[rng.integers(len(all_indices))] for _ in range(3)]
+    labels4 = []
+    img4_rgb = img4_ir = None
+    for i, idx in enumerate(indices):
+        img_rgb, img_ir = load_fn(idx)
+        h, w = img_rgb.shape[:2]
+        if i == 0:
+            img4_rgb = np.full((s * 2, s * 2, 3), 114, np.uint8)
+            img4_ir = np.full((s * 2, s * 2, 3), 114, np.uint8)
+            x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
+            x1b, y1b, x2b, y2b = w - (x2a - x1a), h - (y2a - y1a), w, h
+        elif i == 1:
+            x1a, y1a, x2a, y2a = xc, max(yc - h, 0), min(xc + w, s * 2), yc
+            x1b, y1b, x2b, y2b = 0, h - (y2a - y1a), min(w, x2a - x1a), h
+        elif i == 2:
+            x1a, y1a, x2a, y2a = max(xc - w, 0), yc, xc, min(s * 2, yc + h)
+            x1b, y1b, x2b, y2b = w - (x2a - x1a), 0, w, min(y2a - y1a, h)
+        else:
+            x1a, y1a, x2a, y2a = xc, yc, min(xc + w, s * 2), min(s * 2, yc + h)
+            x1b, y1b, x2b, y2b = 0, 0, min(w, x2a - x1a), min(y2a - y1a, h)
+        img4_rgb[y1a:y2a, x1a:x2a] = img_rgb[y1b:y2b, x1b:x2b]
+        img4_ir[y1a:y2a, x1a:x2a] = img_ir[y1b:y2b, x1b:x2b]
+        padw, padh = x1a - x1b, y1a - y1b
+
+        lab = labels_getter(idx).copy()
+        if lab.size:
+            out = np.empty_like(lab, dtype=np.float32)
+            out[:, 0] = lab[:, 0]
+            out[:, 1:] = xywhn2xyxy(lab[:, 1:], w, h, padw, padh)
+            labels4.append(out)
+    targets = (np.concatenate(labels4, 0) if labels4
+               else np.zeros((0, 5), np.float32))
+    if targets.size:
+        np.clip(targets[:, 1:], 0, 2 * s, out=targets[:, 1:])
+    img4_rgb, img4_ir, targets = random_perspective_pair(
+        img4_rgb, img4_ir, targets, rng,
+        degrees=hyp.degrees, translate=hyp.translate, scale=hyp.scale,
+        shear=hyp.shear, perspective=hyp.perspective, border=border)
+    return img4_rgb, img4_ir, targets

@@ -1,0 +1,125 @@
+"""Batched prefetching loader: dataset -> fixed-shape numpy batches for the TPU.
+
+Behavioral counterpart of the reference's InfiniteDataLoader + collate_fn
+(datasets.py:102-155, :1026-1031), redesigned for XLA:
+
+- batches are FIXED SHAPE: images (B, S, S, 3) uint8, targets padded (B, T, 5) with
+  a (B, T) validity mask (the reference emits ragged concatenated rows)
+- a thread pool decodes/augments ahead (cv2 releases the GIL); the uint8 -> fp /255
+  normalization happens on device inside the jitted step (4x cheaper H2D than fp32)
+- per-epoch shuffling via a seeded np.random.Generator; each sample gets an
+  independent child RNG so results are reproducible regardless of worker timing
+  (replaces the reference's global `random` + DataLoader-worker seeding)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import numpy as np
+
+from icafusion_tpu.data.datasets import PairedDetectionDataset
+
+
+@dataclasses.dataclass
+class PairedLoader:
+    dataset: PairedDetectionDataset
+    batch_size: int
+    max_targets: int = 64
+    shuffle: bool = True
+    seed: int = 0
+    num_workers: int = 8
+    drop_last: bool = True
+    prefetch: int = 4
+
+    def __post_init__(self):
+        n = len(self.dataset)
+        self.steps_per_epoch = n // self.batch_size if self.drop_last else \
+            (n + self.batch_size - 1) // self.batch_size
+
+    def _epoch_indices(self, epoch: int) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(self.seed + epoch).shuffle(idx)
+        if self.drop_last:
+            idx = idx[: self.steps_per_epoch * self.batch_size]
+        return idx
+
+    def _make_batch(self, indices, epoch: int):
+        B = len(indices)
+        S = self.dataset.img_size
+        rgb = np.empty((B, S, S, 3), np.uint8)
+        ir = np.empty((B, S, S, 3), np.uint8)
+        targets = np.zeros((B, self.max_targets, 5), np.float32)
+        mask = np.zeros((B, self.max_targets), bool)
+
+        def one(slot_idx):
+            slot, index = slot_idx
+            rng = np.random.default_rng((self.seed, epoch, int(index)))
+            r, i2, lab = self.dataset.train_sample(int(index), rng)
+            rgb[slot] = r
+            ir[slot] = i2
+            n = min(len(lab), self.max_targets)
+            if n:
+                targets[slot, :n] = lab[:n]
+                mask[slot, :n] = True
+
+        if self.num_workers > 1:
+            with ThreadPoolExecutor(self.num_workers) as ex:
+                list(ex.map(one, enumerate(indices)))
+        else:
+            for si in enumerate(indices):
+                one(si)
+        return {"rgb": rgb, "ir": ir, "targets": targets, "mask": mask}
+
+    def epoch(self, epoch: int) -> Iterator[dict]:
+        """Yield fixed-shape batches for one epoch, prefetching ahead."""
+        idx = self._epoch_indices(epoch)
+        batches = [idx[i * self.batch_size:(i + 1) * self.batch_size]
+                   for i in range(self.steps_per_epoch)]
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def producer():
+            try:
+                for b in batches:
+                    q.put(self._make_batch(b, epoch))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+
+    def val_batches(self) -> Iterator[dict]:
+        """Fixed-shape eval batches; last batch padded by repeating the final
+        sample (extra rows masked out via 'count')."""
+        n = len(self.dataset)
+        for start in range(0, n, self.batch_size):
+            idx = list(range(start, min(start + self.batch_size, n)))
+            count = len(idx)
+            while len(idx) < self.batch_size:
+                idx.append(idx[-1])
+            B = self.batch_size
+            S = self.dataset.img_size
+            rgb = np.empty((B, S, S, 3), np.uint8)
+            ir = np.empty((B, S, S, 3), np.uint8)
+            labels = []
+            shapes = []
+            for slot, i in enumerate(idx):
+                r, i2, lab, shp = self.dataset.val_sample(i)
+                rgb[slot] = r
+                ir[slot] = i2
+                labels.append(lab)
+                shapes.append(shp)
+            yield {"rgb": rgb, "ir": ir, "labels": labels, "shapes": shapes,
+                   "count": count,
+                   "paths": [self.dataset.files_rgb[i] for i in idx]}

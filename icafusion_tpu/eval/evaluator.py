@@ -1,0 +1,171 @@
+"""Validation loop: batched paired inference + on-device NMS + mAP.
+
+Behavioral counterpart of reference test.py:23-367:
+- conf_thres 0.001 / iou_thres 0.5 NMS with multi_label=True (test.py:374-378,:139)
+- greedy per-class matching of predictions to targets over the IoU grid
+  0.5:0.05:0.95 (test.py:196-227)
+- predictions rescaled to native image space before matching (test.py:160,:204)
+- headline metrics P/R/mAP@.5/mAP@.75/mAP via ap_per_class (test.py:288-312)
+- optional MR-format txt dump "(idx+1),x,y,w,h,conf" (test.py:163-170) feeding the
+  KAIST miss-rate evaluator
+
+TPU redesign: the reference evaluates at batch 1 (train.py:382); here the whole
+batch runs as ONE jitted program (forward + decode + NMS on device) and only the
+<=300 kept detections per image return to the host for stats.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icafusion_tpu.eval.metrics import ConfusionMatrix, summarize
+from icafusion_tpu.ops.nms import detections_to_numpy, non_max_suppression
+
+IOUV = np.linspace(0.5, 0.95, 10)
+
+
+def np_box_iou(a, b):
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:4], b[None, :, 2:4])
+    inter = np.clip(rb - lt, 0, None).prod(-1)
+    a1 = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    a2 = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    return inter / (a1[:, None] + a2[None, :] - inter + 1e-16)
+
+
+def match_predictions(pred: np.ndarray, tbox: np.ndarray, tcls: np.ndarray,
+                      iouv=IOUV) -> np.ndarray:
+    """Greedy per-class matching (test.py:196-227). pred (n,6) xyxy+conf+cls in
+    native space, tbox (m,4) native xyxy, tcls (m,). Returns correct (n, len(iouv))."""
+    correct = np.zeros((len(pred), len(iouv)), bool)
+    if not len(tcls) or not len(pred):
+        return correct
+    detected: set = set()
+    for cls in np.unique(tcls):
+        ti = np.nonzero(tcls == cls)[0]
+        pi = np.nonzero(pred[:, 5] == cls)[0]
+        if not len(pi):
+            continue
+        ious_all = np_box_iou(pred[pi, :4], tbox[ti])
+        ious = ious_all.max(1)
+        best = ious_all.argmax(1)
+        for j in np.nonzero(ious > iouv[0])[0]:
+            d = int(ti[best[j]])
+            if d not in detected:
+                detected.add(d)
+                correct[pi[j]] = ious[j] > iouv
+                if len(detected) == len(tcls):
+                    break
+    return correct
+
+
+def scale_coords_np(img_hw, coords, img0_hw, ratio_pad=None):
+    """Host scale_coords (general.py:386-399)."""
+    if ratio_pad is None:
+        gain = min(img_hw[0] / img0_hw[0], img_hw[1] / img0_hw[1])
+        pad = ((img_hw[1] - img0_hw[1] * gain) / 2, (img_hw[0] - img0_hw[0] * gain) / 2)
+    else:
+        gain, pad = ratio_pad[0][0], ratio_pad[1]
+    coords = coords.copy()
+    coords[:, [0, 2]] -= pad[0]
+    coords[:, [1, 3]] -= pad[1]
+    coords[:, :4] /= gain
+    coords[:, [0, 2]] = coords[:, [0, 2]].clip(0, img0_hw[1])
+    coords[:, [1, 3]] = coords[:, [1, 3]].clip(0, img0_hw[0])
+    return coords
+
+
+@dataclasses.dataclass
+class Evaluator:
+    model: "ICAFusionModel"              # noqa: F821
+    nc: int
+    conf_thres: float = 0.001
+    iou_thres: float = 0.5               # NMS IoU (test.py:375-376)
+    max_det: int = 300
+    top_k: int = 8192                    # candidate pool at conf 0.001
+
+    def __post_init__(self):
+        model = self.model
+
+        @jax.jit
+        def _infer(variables, rgb, ir):
+            rgb = rgb.astype(jnp.float32) / 255.0
+            ir = ir.astype(jnp.float32) / 255.0
+            pred, _, _ = model.apply(variables, rgb, ir, train=False, decode=True)
+            return non_max_suppression(pred, conf_thres=self.conf_thres,
+                                       iou_thres=self.iou_thres, multi_label=True,
+                                       max_det=self.max_det, top_k=self.top_k)
+
+        self._infer = _infer
+
+    def run(self, variables, val_batches, img_size: int,
+            confusion: bool = False, mr_txt_dir: Optional[str] = None,
+            names: Optional[List[str]] = None):
+        """val_batches: iterator of dicts from PairedLoader.val_batches().
+        Returns the summarize() dict (+ 'cm' if confusion)."""
+        stats = []
+        cm = ConfusionMatrix(self.nc) if confusion else None
+        mr_lines = {}
+        seen = 0
+        for batch in val_batches:
+            dets = self._infer(variables, jnp.asarray(batch["rgb"]),
+                               jnp.asarray(batch["ir"]))
+            det_list = detections_to_numpy(dets)
+            for si in range(batch["count"]):
+                pred = det_list[si]
+                labels = batch["labels"][si]
+                shapes = batch["shapes"][si]
+                (h0, w0), ratio_pad = shapes
+                tcls = labels[:, 0] if len(labels) else np.zeros(0)
+                seen += 1
+                if len(pred) == 0:
+                    stats.append((np.zeros((0, len(IOUV)), bool), np.zeros(0),
+                                  np.zeros(0), tcls))
+                    continue
+                predn = pred.copy()
+                predn[:, :4] = scale_coords_np((img_size, img_size), predn[:, :4],
+                                               (h0, w0), ratio_pad)
+                if len(labels):
+                    # labels are normalized cls+xywh w.r.t. the ORIGINAL image
+                    tbox = np.empty((len(labels), 4), np.float32)
+                    cx, cy, bw, bh = (labels[:, 1] * w0, labels[:, 2] * h0,
+                                      labels[:, 3] * w0, labels[:, 4] * h0)
+                    tbox[:, 0] = cx - bw / 2
+                    tbox[:, 1] = cy - bh / 2
+                    tbox[:, 2] = cx + bw / 2
+                    tbox[:, 3] = cy + bh / 2
+                    correct = match_predictions(predn, tbox, tcls)
+                    if cm is not None:
+                        cm.process_batch(predn, np.concatenate(
+                            [tcls[:, None], tbox], 1))
+                else:
+                    correct = np.zeros((len(pred), len(IOUV)), bool)
+                stats.append((correct, pred[:, 4], pred[:, 5], tcls))
+
+                if mr_txt_dir is not None:
+                    stem = Path(batch["paths"][si]).stem
+                    lines = []
+                    for x1, y1, x2, y2, conf, cls in predn:
+                        lines.append(f"{seen},{x1:g},{y1:g},{x2 - x1:g},"
+                                     f"{y2 - y1:g},{conf:g}")
+                    mr_lines[stem] = lines
+
+        out = summarize(stats, self.nc)
+        out["seen"] = seen
+        if cm is not None:
+            out["cm"] = cm.matrix
+        if mr_txt_dir is not None:
+            d = Path(mr_txt_dir)
+            d.mkdir(parents=True, exist_ok=True)
+            all_lines = []
+            for stem, lines in mr_lines.items():
+                (d / f"{stem}.txt").write_text("\n".join(lines) + "\n" if lines else "")
+                all_lines.extend(lines)
+            (d / "result.txt").write_text("\n".join(all_lines) + "\n" if all_lines else "")
+        return out

@@ -90,6 +90,7 @@ class YoloSGD:
     nbs: int = 64                  # nominal batch size (train.py:123)
     linear_lr: bool = False
     freeze_unrouted: bool = False
+    warmup_min_steps: int = 1000   # reference floor (train.py:264: nw >= 1000)
 
     @property
     def weight_decay(self) -> float:
@@ -100,7 +101,8 @@ class YoloSGD:
 
     @property
     def warmup_steps(self) -> int:
-        return max(round(self.hyp.warmup_epochs * self.steps_per_epoch), 1000)
+        return max(round(self.hyp.warmup_epochs * self.steps_per_epoch),
+                   self.warmup_min_steps)
 
     def lr_factor(self, epoch):
         """lf(epoch) per the reference scheduler (train.py:148-152)."""

@@ -59,6 +59,7 @@ class Trainer:
     imgsz: int = 640
     accum_steps: int = 1
     ema_decay: float = 0.9999
+    warmup_min_steps: int = 1000
 
     def __post_init__(self):
         cfg = self.model.cfg
@@ -69,7 +70,8 @@ class Trainer:
                                 box_gain=box, obj_gain=obj, cls_gain=cls)
         self.optimizer = YoloSGD(hyp=self.hyp, epochs=self.epochs,
                                  steps_per_epoch=self.steps_per_epoch,
-                                 total_batch_size=self.batch_size * self.accum_steps)
+                                 total_batch_size=self.batch_size * self.accum_steps,
+                                 warmup_min_steps=self.warmup_min_steps)
 
     def init_state(self, rng, sample_rgb, sample_ir) -> TrainState:
         init_rng, state_rng = jax.random.split(rng)

@@ -1,0 +1,146 @@
+"""Data-pipeline tests on a generated synthetic paired dataset: discovery, label
+parsing/caching, letterbox geometry, mosaic validity, paired-flip coupling,
+fixed-shape loader batches."""
+
+import numpy as np
+import pytest
+
+from icafusion_tpu.config import load_hyp_config
+from icafusion_tpu.data.augment import letterbox, xywhn2xyxy, xyxy2xywhn
+from icafusion_tpu.data.datasets import (PairedDetectionDataset, img2label_path,
+                                         parse_label_file)
+from icafusion_tpu.data.loader import PairedLoader
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    """visible/ + infrared/ + labels/ with drawn rectangles, varied sizes."""
+    import cv2
+    root = tmp_path_factory.mktemp("flir_like")
+    (root / "visible" / "train").mkdir(parents=True)
+    (root / "infrared" / "train").mkdir(parents=True)
+    (root / "labels" / "train").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    sizes = [(480, 640), (512, 640), (640, 512)]
+    for i in range(12):
+        h, w = sizes[i % len(sizes)]
+        rgb = np.full((h, w, 3), 30, np.uint8)
+        ir = np.full((h, w, 3), 20, np.uint8)
+        lines = []
+        for _ in range(rng.integers(1, 4)):
+            bw, bh = int(rng.uniform(0.1, 0.3) * w), int(rng.uniform(0.1, 0.3) * h)
+            x1 = int(rng.uniform(0, w - bw))
+            y1 = int(rng.uniform(0, h - bh))
+            cls = int(rng.integers(0, 3))
+            color = [(255, 60, 60), (60, 255, 60), (60, 60, 255)][cls]
+            cv2.rectangle(rgb, (x1, y1), (x1 + bw, y1 + bh), color, -1)
+            cv2.rectangle(ir, (x1, y1), (x1 + bw, y1 + bh), (200, 200, 200), -1)
+            cx, cy = (x1 + bw / 2) / w, (y1 + bh / 2) / h
+            lines.append(f"{cls} {cx:.6f} {cy:.6f} {bw / w:.6f} {bh / h:.6f}")
+        cv2.imwrite(str(root / "visible" / "train" / f"img{i:03d}.jpg"), rgb[:, :, ::-1])
+        cv2.imwrite(str(root / "infrared" / "train" / f"img{i:03d}.jpg"), ir[:, :, ::-1])
+        (root / "labels" / "train" / f"img{i:03d}.txt").write_text("\n".join(lines) + "\n")
+    return root
+
+
+def test_label_path_derivation():
+    assert img2label_path("/d/visible/train/a.jpg") == "/d/labels/train/a.txt"
+    assert img2label_path("/d/infrared/test/b.png") == "/d/labels/test/b.txt"
+    assert img2label_path("/d/images/val/c.jpeg") == "/d/labels/val/c.txt"
+
+
+def test_letterbox_geometry():
+    img = np.zeros((480, 640, 3), np.uint8)
+    out, ratio, (dw, dh) = letterbox(img, 640)
+    assert out.shape == (640, 640, 3)
+    assert ratio == (1.0, 1.0)
+    assert (dw, dh) == (0.0, 80.0)
+    # gray padding at top/bottom
+    assert (out[:80] == 114).all() and (out[-80:] == 114).all()
+    # scaleup=False on a small image: no upscale, pure pad
+    small = np.zeros((100, 200, 3), np.uint8)
+    out2, r2, _ = letterbox(small, 640, scaleup=False)
+    assert r2 == (1.0, 1.0) and out2.shape == (640, 640, 3)
+
+
+def test_box_roundtrip():
+    rng = np.random.default_rng(0)
+    xywh = np.stack([rng.uniform(0.3, 0.7, 10), rng.uniform(0.3, 0.7, 10),
+                     rng.uniform(0.05, 0.2, 10), rng.uniform(0.05, 0.2, 10)], 1)
+    xyxy = xywhn2xyxy(xywh, 640, 480)
+    back = xyxy2xywhn(xyxy, 640, 480)
+    np.testing.assert_allclose(back, xywh, atol=1e-5)
+
+
+def test_dataset_discovery_and_labels(synth_root):
+    ds = PairedDetectionDataset(str(synth_root / "visible" / "train"),
+                                str(synth_root / "infrared" / "train"),
+                                img_size=320, nc=3,
+                                cache_dir=str(synth_root / ".cache"))
+    assert len(ds) == 12
+    assert all(len(l) >= 1 for l in ds.labels)
+    assert ds.class_histogram().sum() == sum(len(l) for l in ds.labels)
+    # cache round-trip
+    ds2 = PairedDetectionDataset(str(synth_root / "visible" / "train"),
+                                 str(synth_root / "infrared" / "train"),
+                                 img_size=320, nc=3,
+                                 cache_dir=str(synth_root / ".cache"))
+    for a, b in zip(ds.labels, ds2.labels):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_train_sample_mosaic_and_flip(synth_root):
+    hyp = load_hyp_config()  # mosaic=1.0, fliplr=0.5
+    ds = PairedDetectionDataset(str(synth_root / "visible" / "train"),
+                                str(synth_root / "infrared" / "train"),
+                                img_size=320, hyp=hyp, augment=True, nc=3)
+    rng = np.random.default_rng(42)
+    rgb, ir, labels = ds.train_sample(0, rng)
+    assert rgb.shape == (320, 320, 3) and ir.shape == (320, 320, 3)
+    assert rgb.dtype == np.uint8
+    if len(labels):
+        assert (labels[:, 1:] >= 0).all() and (labels[:, 1:] <= 1).all()
+        assert (labels[:, 0] < 3).all()
+    # determinism: same rng seed -> identical sample
+    rgb2, ir2, labels2 = ds.train_sample(0, np.random.default_rng(42))
+    np.testing.assert_array_equal(rgb, rgb2)
+    np.testing.assert_array_equal(labels, labels2)
+
+
+def test_paired_flip_coupling(synth_root):
+    """Flips must apply to both modalities with one coin: wherever a box is in the
+    RGB image, the IR image must have its (white) box at the same place."""
+    hyp = load_hyp_config().replace(mosaic=0.0, fliplr=1.0, hsv_h=0, hsv_s=0, hsv_v=0,
+                                    translate=0, scale=0)
+    ds = PairedDetectionDataset(str(synth_root / "visible" / "train"),
+                                str(synth_root / "infrared" / "train"),
+                                img_size=320, hyp=hyp, augment=True, nc=3)
+    rgb, ir, labels = ds.train_sample(3, np.random.default_rng(7))
+    # bright pixels must coincide spatially between modalities
+    m_rgb = rgb.max(-1) > 100
+    m_ir = ir.max(-1) > 100
+    inter = (m_rgb & m_ir).sum()
+    union = (m_rgb | m_ir).sum()
+    assert inter / union > 0.95, "modalities desynchronized under flip"
+
+
+def test_loader_batches(synth_root):
+    hyp = load_hyp_config()
+    ds = PairedDetectionDataset(str(synth_root / "visible" / "train"),
+                                str(synth_root / "infrared" / "train"),
+                                img_size=320, hyp=hyp, augment=True, nc=3)
+    loader = PairedLoader(ds, batch_size=4, max_targets=16, seed=0, num_workers=2)
+    assert loader.steps_per_epoch == 3
+    batches = list(loader.epoch(0))
+    assert len(batches) == 3
+    b = batches[0]
+    assert b["rgb"].shape == (4, 320, 320, 3) and b["rgb"].dtype == np.uint8
+    assert b["targets"].shape == (4, 16, 5)
+    assert b["mask"].shape == (4, 16)
+    assert b["mask"].any()
+    # val batches: fixed shape with count + shapes metadata
+    vb = next(iter(loader.val_batches()))
+    assert vb["rgb"].shape == (4, 320, 320, 3)
+    assert vb["count"] == 4
+    (h0, w0), (ratio, pad) = vb["shapes"][0]
+    assert h0 in (480, 512, 640)

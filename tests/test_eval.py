@@ -1,0 +1,116 @@
+"""Eval-harness tests: AP math against hand-computed cases, matching semantics,
+and the full evaluator chain (decode+NMS+rescale+match+AP) via a stub model that
+emits known predictions."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from icafusion_tpu.eval.evaluator import Evaluator, IOUV, match_predictions
+from icafusion_tpu.eval.metrics import ap_per_class, compute_ap, fitness, summarize
+
+
+def test_compute_ap_perfect():
+    # single TP at conf 1.0, one GT: AP == 1
+    ap, _, _ = compute_ap(np.array([1.0]), np.array([1.0]))
+    assert ap == pytest.approx(1.0, abs=0.02)  # 101-pt interp quantization
+
+
+def test_ap_per_class_known_case():
+    # 2 classes; class 0: 1 GT, 1 correct pred; class 1: 1 GT, 1 wrong pred
+    tp = np.array([[True] * 10, [False] * 10])
+    conf = np.array([0.9, 0.8])
+    pred_cls = np.array([0.0, 1.0])
+    target_cls = np.array([0.0, 1.0])
+    _, _, _, p, r, ap, f1, classes = ap_per_class(tp, conf, pred_cls, target_cls)
+    assert ap[0, 0] == pytest.approx(1.0, abs=0.02)
+    assert ap[1, 0] == 0.0
+    assert list(classes) == [0, 1]
+
+
+def test_fitness_is_map50():
+    row = np.array([1, 2, 3, 4, 0.5, 0.6, 0.77, 0.4])
+    assert fitness(row) == pytest.approx(0.77)
+
+
+def test_match_predictions_greedy():
+    # two preds on one target: only the higher-conf (earlier) one is correct
+    tbox = np.array([[10.0, 10, 50, 50]])
+    tcls = np.array([0.0])
+    pred = np.array([[10, 10, 50, 50, 0.9, 0],
+                     [12, 12, 52, 52, 0.8, 0]], np.float32)
+    correct = match_predictions(pred, tbox, tcls)
+    assert correct[0, 0] and not correct[1, 0]
+    # class mismatch -> no match
+    pred2 = pred.copy()
+    pred2[:, 5] = 1
+    assert not match_predictions(pred2, tbox, tcls).any()
+
+
+class StubModel:
+    """Emits fixed decoded predictions (xywh+obj+cls) regardless of input."""
+
+    def __init__(self, pred):
+        self.pred = jnp.asarray(pred)
+
+    def apply(self, variables, rgb, ir, train=False, decode=True):
+        b = rgb.shape[0]
+        p = jnp.broadcast_to(self.pred, (b,) + self.pred.shape)
+        return p, None, None
+
+
+def _val_batch(img_size, n, h0, w0, labels):
+    rgb = np.zeros((n, img_size, img_size, 3), np.uint8)
+    r = min(img_size / h0, img_size / w0)
+    pad = ((img_size - w0 * r) / 2, (img_size - h0 * r) / 2)
+    return {"rgb": rgb, "ir": rgb.copy(),
+            "labels": [labels.copy() for _ in range(n)],
+            "shapes": [((h0, w0), ((r, r), pad))] * n,
+            "count": n, "paths": [f"im{i}.jpg" for i in range(n)]}
+
+
+def test_evaluator_perfect_predictions(tmp_path):
+    """Stub predictions exactly on the (letterbox-transformed) GT -> mAP == 1."""
+    img_size, h0, w0 = 320, 240, 320
+    # one GT box, normalized xywh in ORIGINAL image coords
+    labels = np.array([[0, 0.5, 0.5, 0.25, 0.25]], np.float32)
+    r = min(img_size / h0, img_size / w0)  # 1.0
+    pad = ((img_size - w0 * r) / 2, (img_size - h0 * r) / 2)  # (0, 40)
+    # the model predicts in letterboxed space
+    cx, cy = 0.5 * w0 * r + pad[0], 0.5 * h0 * r + pad[1]
+    bw, bh = 0.25 * w0 * r, 0.25 * h0 * r
+    pred = np.zeros((8, 8), np.float32)   # (N=8 candidates, 5+nc=3)
+    # secondary class scores below conf/obj so multi-label keeps only class 0
+    pred[0] = [cx, cy, bw, bh, 0.95, 0.99, 0.0005, 0.0005]
+    ev = Evaluator(model=StubModel(pred), nc=3)
+    out = ev.run(None, [_val_batch(img_size, 2, h0, w0, labels)], img_size,
+                 mr_txt_dir=str(tmp_path / "mr"))
+    assert out["map50"] == pytest.approx(1.0, abs=0.02)
+    assert out["map"] == pytest.approx(1.0, abs=0.02)
+    assert out["seen"] == 2
+    # MR txt written in "(idx),x,y,w,h,conf" format
+    txt = (tmp_path / "mr" / "result.txt").read_text().strip().splitlines()
+    assert len(txt) == 2
+    assert len(txt[0].split(",")) == 6
+
+
+def test_evaluator_offset_predictions_lower_map():
+    img_size, h0, w0 = 320, 320, 320
+    labels = np.array([[0, 0.5, 0.5, 0.25, 0.25]], np.float32)
+    pred = np.zeros((8, 8), np.float32)
+    # ~55% IoU offset box: counts at IoU 0.5 but not at 0.75+
+    pred[0] = [160 + 12, 160, 80, 80, 0.9, 0.99, 0.005, 0.005]
+    ev = Evaluator(model=StubModel(pred), nc=3)
+    out = ev.run(None, [_val_batch(img_size, 1, h0, w0, labels)], img_size)
+    assert out["map50"] == pytest.approx(1.0, abs=0.02)
+    assert out["map"] < 0.6
+
+
+def test_evaluator_no_predictions():
+    img_size = 320
+    labels = np.array([[0, 0.5, 0.5, 0.25, 0.25]], np.float32)
+    pred = np.zeros((8, 8), np.float32)  # all conf 0
+    ev = Evaluator(model=StubModel(pred), nc=3)
+    out = ev.run(None, [_val_batch(img_size, 1, 320, 320, labels)], img_size)
+    assert out["map50"] == 0.0
