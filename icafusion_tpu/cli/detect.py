@@ -1,0 +1,137 @@
+"""Paired-folder streaming inference CLI — counterpart of reference
+detect_twostream.py:19-236: zip two image folders, letterbox both modalities,
+run the two-stream model + NMS fully on device, draw/save/report FPS.
+
+    python -m icafusion_tpu.cli.detect --weights best.ckpt --cfg zoo:tfb:s \
+        --source1 visible/test --source2 infrared/test --save-dir runs/detect
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+import numpy as np
+
+from icafusion_tpu.cli._common import load_model_for_inference, setup_jax
+
+COLORS = [(255, 56, 56), (50, 205, 50), (65, 105, 225), (255, 157, 151),
+          (255, 112, 31), (147, 69, 52), (72, 249, 10), (26, 147, 52)]
+
+
+def plot_one_box(img, xyxy, label, color):
+    """Draw one box + caption (reference utils/plots.py:67-87)."""
+    import cv2
+    x1, y1, x2, y2 = (int(v) for v in xyxy)
+    tl = max(round(0.002 * (img.shape[0] + img.shape[1]) / 2), 1)
+    cv2.rectangle(img, (x1, y1), (x2, y2), color, tl, cv2.LINE_AA)
+    tf = max(tl - 1, 1)
+    t_size = cv2.getTextSize(label, 0, fontScale=tl / 3, thickness=tf)[0]
+    c2 = x1 + t_size[0], y1 - t_size[1] - 3
+    cv2.rectangle(img, (x1, y1), c2, color, -1, cv2.LINE_AA)
+    cv2.putText(img, label, (x1, y1 - 2), 0, tl / 3, (225, 255, 255), tf,
+                cv2.LINE_AA)
+
+
+def parse_args(argv=None):
+    ap = argparse.ArgumentParser("icafusion-detect")
+    ap.add_argument("--weights", required=True)
+    ap.add_argument("--cfg", required=True)
+    ap.add_argument("--source1", required=True, help="RGB folder/glob")
+    ap.add_argument("--source2", required=True, help="IR folder/glob")
+    ap.add_argument("--img-size", type=int, default=640)
+    ap.add_argument("--conf-thres", type=float, default=0.25)
+    ap.add_argument("--iou-thres", type=float, default=0.45)
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--save-dir", default="runs/detect/exp")
+    ap.add_argument("--save-txt", action="store_true")
+    ap.add_argument("--names", nargs="*", default=None)
+    ap.add_argument("--nosave", action="store_true")
+    return ap.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    setup_jax()
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from icafusion_tpu.data.augment import letterbox
+    from icafusion_tpu.data.datasets import discover_images
+    from icafusion_tpu.eval.evaluator import scale_coords_np
+    from icafusion_tpu.ops.nms import detections_to_numpy, non_max_suppression
+
+    mc, model, variables = load_model_for_inference(args.cfg, args.weights)
+    names = args.names or [str(i) for i in range(mc.nc)]
+    files1 = discover_images(args.source1)
+    files2 = discover_images(args.source2)
+    assert len(files1) == len(files2), "paired sources must have equal counts"
+    save_dir = Path(args.save_dir)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    S, B = args.img_size, args.batch_size
+
+    @jax.jit
+    def infer(v, rgb, ir):
+        rgb = rgb.astype(jnp.float32) / 255.0
+        ir = ir.astype(jnp.float32) / 255.0
+        pred, _, _ = model.apply(v, rgb, ir, train=False, decode=True)
+        return non_max_suppression(pred, conf_thres=args.conf_thres,
+                                   iou_thres=args.iou_thres, top_k=1024)
+
+    n_done, t_total = 0, 0.0
+    for start in range(0, len(files1), B):
+        idx = list(range(start, min(start + B, len(files1))))
+        count = len(idx)
+        while len(idx) < B:
+            idx.append(idx[-1])
+        rgb_b = np.zeros((B, S, S, 3), np.uint8)
+        ir_b = np.zeros((B, S, S, 3), np.uint8)
+        origs, shapes = [], []
+        for slot, i in enumerate(idx):
+            im0 = cv2.imread(files1[i])
+            im1 = cv2.imread(files2[i])
+            origs.append((im0, im1))
+            rgb_l, _, _ = letterbox(cv2.cvtColor(im0, cv2.COLOR_BGR2RGB), S,
+                                    scaleup=False)
+            ir_l, _, _ = letterbox(cv2.cvtColor(im1, cv2.COLOR_BGR2RGB), S,
+                                   scaleup=False)
+            rgb_b[slot], ir_b[slot] = rgb_l, ir_l
+            shapes.append(im0.shape[:2])
+        t0 = time.time()
+        dets = infer(variables, jnp.asarray(rgb_b), jnp.asarray(ir_b))
+        det_list = detections_to_numpy(dets)
+        dt = time.time() - t0
+        if start > 0:  # skip compile batch in timing
+            t_total += dt
+            n_done += count
+        for slot in range(count):
+            i = idx[slot]
+            pred = det_list[slot]
+            im0, im1 = origs[slot]
+            h0, w0 = shapes[slot]
+            if len(pred):
+                pred[:, :4] = scale_coords_np((S, S), pred[:, :4], (h0, w0))
+            stem = Path(files1[i]).stem
+            if args.save_txt and len(pred):
+                lines = [f"{int(c)} {x1:g} {y1:g} {x2:g} {y2:g} {s:g}"
+                         for x1, y1, x2, y2, s, c in pred]
+                (save_dir / f"{stem}.txt").write_text("\n".join(lines) + "\n")
+            if not args.nosave:
+                for x1, y1, x2, y2, conf, cls in pred:
+                    label = f"{names[int(cls)]} {conf:.2f}"
+                    color = COLORS[int(cls) % len(COLORS)]
+                    plot_one_box(im0, (x1, y1, x2, y2), label, color)
+                    plot_one_box(im1, (x1, y1, x2, y2), label, color)
+                cv2.imwrite(str(save_dir / f"{stem}_rgb.jpg"), im0)
+                cv2.imwrite(str(save_dir / f"{stem}_ir.jpg"), im1)
+            print(f"{stem}: {len(pred)} detections")
+    if n_done:
+        print(f"average: {n_done / t_total:.1f} paired FPS "
+              f"({t_total / n_done * 1e3:.1f} ms/pair incl. host IO)")
+    print(f"results saved to {save_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+"""Model export CLI — counterpart of reference models/export.py:24-127.
+
+The reference exports TorchScript/ONNX/CoreML of the *single-input* model; the
+TPU-native equivalents are:
+- StableHLO (jax.export): the portable serialized program, two-stream, with the
+  full decode (and optional NMS) baked in — loadable by any StableHLO runtime
+- stripped msgpack weights (EMA, fp16) for this framework's own runtime
+
+    python -m icafusion_tpu.cli.export --weights best.ckpt --cfg zoo:tfb:s \
+        --img-size 640 --batch 1 --include stablehlo weights [--nms]
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+from icafusion_tpu.cli._common import load_model_for_inference, setup_jax
+
+
+def parse_args(argv=None):
+    ap = argparse.ArgumentParser("icafusion-export")
+    ap.add_argument("--weights", required=True)
+    ap.add_argument("--cfg", required=True)
+    ap.add_argument("--img-size", type=int, default=640)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--include", nargs="+", default=["stablehlo", "weights"],
+                    choices=["stablehlo", "weights"])
+    ap.add_argument("--nms", action="store_true",
+                    help="bake NMS into the exported program")
+    ap.add_argument("--conf-thres", type=float, default=0.25)
+    ap.add_argument("--iou-thres", type=float, default=0.45)
+    ap.add_argument("--out", default=None, help="output stem (default: weights path)")
+    return ap.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    setup_jax()
+    import jax
+    import jax.numpy as jnp
+
+    from icafusion_tpu.ops.nms import non_max_suppression
+
+    mc, model, variables = load_model_for_inference(args.cfg, args.weights)
+    stem = Path(args.out or args.weights).with_suffix("")
+    S, B = args.img_size, args.batch
+
+    def forward(rgb, ir):
+        pred, logits, _ = model.apply(variables, rgb, ir, train=False, decode=True)
+        if args.nms:
+            return non_max_suppression(pred, conf_thres=args.conf_thres,
+                                       iou_thres=args.iou_thres, top_k=1024)
+        return pred, logits
+
+    x = jnp.zeros((B, S, S, 3), jnp.float32)
+
+    if "stablehlo" in args.include:
+        from jax import export as jexport
+        try:
+            from icafusion_tpu.ops.nms import Detections
+            jexport.register_namedtuple_serialization(
+                Detections, serialized_name="icafusion_tpu.Detections")
+        except ValueError:
+            pass  # already registered
+        exported = jexport.export(jax.jit(forward))(x, x)
+        path = stem.with_suffix(".stablehlo")
+        path.write_bytes(exported.serialize())
+        print(f"StableHLO ({'with' if args.nms else 'no'} NMS): {path} "
+              f"({path.stat().st_size / 1e6:.1f} MB)")
+        mlir = stem.with_suffix(".mlir.txt")
+        mlir.write_text(exported.mlir_module())
+        print(f"MLIR text: {mlir}")
+
+    if "weights" in args.include:
+        from flax import serialization
+        import numpy as np
+        slim = {
+            "params": jax.tree.map(lambda v: np.asarray(v, np.float16),
+                                   variables["params"]),
+            "batch_stats": jax.tree.map(lambda v: np.asarray(v, np.float16),
+                                        variables.get("batch_stats", {})),
+            "meta": {"cfg": args.cfg, "img_size": S},
+        }
+        wpath = stem.with_suffix(".weights.msgpack")
+        wpath.write_bytes(serialization.msgpack_serialize(slim))
+        print(f"weights: {wpath} ({wpath.stat().st_size / 1e6:.1f} MB)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,66 @@
+"""Training CLI — counterpart of reference train.py:493-588.
+
+    python -m icafusion_tpu.cli.train --cfg zoo:tfb:s \
+        --data /root/reference/data/multispectral/FLIR-align-3class.yaml \
+        --hyp /root/reference/data/hyp.scratch.yaml --epochs 60 --batch-size 8
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from icafusion_tpu.cli._common import resolve_model_config, setup_jax
+
+
+def parse_args(argv=None):
+    ap = argparse.ArgumentParser("icafusion-train")
+    ap.add_argument("--cfg", required=True, help="model yaml or zoo:<fusion>:<scale>")
+    ap.add_argument("--data", required=True, help="dataset yaml")
+    ap.add_argument("--hyp", default=None, help="hyperparameter yaml")
+    ap.add_argument("--weights", default=None, help="pretrained .pt or .ckpt")
+    ap.add_argument("--resume", default=None, help="checkpoint to resume from")
+    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--img-size", type=int, default=640)
+    ap.add_argument("--project", default="runs/train")
+    ap.add_argument("--name", default="exp")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--bf16", action="store_true", help="bf16 compute (AMP analog)")
+    ap.add_argument("--workers", type=int, default=8)
+    ap.add_argument("--eval-every", type=int, default=1)
+    ap.add_argument("--devices", type=int, default=None,
+                    help="number of mesh devices (default: all)")
+    ap.add_argument("--save-every", type=int, default=1)
+    ap.add_argument("--warmup-min", type=int, default=1000,
+                    help="warmup floor in iterations (reference: 1000)")
+    return ap.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    setup_jax()
+    from icafusion_tpu.config import load_data_config, load_hyp_config
+    from icafusion_tpu.train.fit import FitConfig, fit
+    from icafusion_tpu.utils.general import check_img_size, init_seeds
+
+    init_seeds(args.seed)
+    data_cfg = load_data_config(args.data)
+    hyp = load_hyp_config(args.hyp)
+    model_cfg = resolve_model_config(args.cfg, nc=data_cfg.nc)
+    imgsz = check_img_size(args.img_size, 32)
+
+    result = fit(FitConfig(
+        model_cfg=model_cfg, data_cfg=data_cfg, hyp=hyp, epochs=args.epochs,
+        batch_size=args.batch_size, imgsz=imgsz, project=args.project,
+        name=args.name, seed=args.seed, bf16=args.bf16, workers=args.workers,
+        eval_every=args.eval_every, pretrained=args.weights, resume=args.resume,
+        n_devices=args.devices, save_every=args.save_every,
+        warmup_min_steps=args.warmup_min))
+    print(f"done: mAP50={result.get('map50', 0):.4f} "
+          f"best_fitness={result.get('best_fitness', 0):.4f} "
+          f"run={result.get('run_dir')}")
+    return result
+
+
+if __name__ == "__main__":
+    main()

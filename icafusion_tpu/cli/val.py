@@ -1,0 +1,87 @@
+"""Validation CLI — counterpart of reference test.py:370-419.
+
+    python -m icafusion_tpu.cli.val --weights runs/train/exp/weights/best.ckpt \
+        --cfg zoo:tfb:s --data FLIR.yaml [--task val] [--save-txt] [--kaist-ann ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+from icafusion_tpu.cli._common import (load_model_for_inference,
+                                       resolve_model_config, setup_jax)
+
+
+def parse_args(argv=None):
+    ap = argparse.ArgumentParser("icafusion-val")
+    ap.add_argument("--weights", required=True)
+    ap.add_argument("--cfg", required=True)
+    ap.add_argument("--data", required=True)
+    ap.add_argument("--img-size", type=int, default=640)
+    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--conf-thres", type=float, default=0.001)
+    ap.add_argument("--iou-thres", type=float, default=0.5)
+    ap.add_argument("--task", default="val", choices=["val", "test"])
+    ap.add_argument("--save-txt", action="store_true",
+                    help="write MR-format detection txts")
+    ap.add_argument("--save-dir", default="runs/val/exp")
+    ap.add_argument("--kaist-ann", default=None,
+                    help="KAIST annotation json: also compute the miss-rate suite")
+    ap.add_argument("--confusion", action="store_true")
+    return ap.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    setup_jax()
+    from icafusion_tpu.config import load_data_config, load_hyp_config
+    from icafusion_tpu.data.datasets import PairedDetectionDataset
+    from icafusion_tpu.data.loader import PairedLoader
+    from icafusion_tpu.eval.evaluator import Evaluator
+
+    data_cfg = load_data_config(args.data)
+    mc, model, variables = load_model_for_inference(args.cfg, args.weights,
+                                                    nc=data_cfg.nc)
+    root = Path(data_cfg.path)
+    rgb = data_cfg.val_rgb if args.task == "val" else data_cfg.test_rgb
+    ir = data_cfg.val_ir if args.task == "val" else data_cfg.test_ir
+    ds = PairedDetectionDataset(str(root / rgb), str(root / ir),
+                                img_size=args.img_size,
+                                hyp=load_hyp_config(), augment=False,
+                                nc=data_cfg.nc)
+    loader = PairedLoader(ds, batch_size=args.batch_size, shuffle=False)
+
+    ev = Evaluator(model=model, nc=data_cfg.nc, conf_thres=args.conf_thres,
+                   iou_thres=args.iou_thres)
+    save_dir = Path(args.save_dir)
+    mr_dir = str(save_dir / "labels") if (args.save_txt or args.kaist_ann) else None
+    out = ev.run(variables, loader.val_batches(), args.img_size,
+                 confusion=args.confusion, mr_txt_dir=mr_dir,
+                 names=list(data_cfg.names))
+
+    print(f"{'Class':>12} {'Images':>8} {'P':>8} {'R':>8} {'mAP50':>8} "
+          f"{'mAP75':>8} {'mAP':>8}")
+    print(f"{'all':>12} {out['seen']:>8} {out['mp']:8.4f} {out['mr']:8.4f} "
+          f"{out['map50']:8.4f} {out['map75']:8.4f} {out['map']:8.4f}")
+    for c, d in out.get("per_class", {}).items():
+        name = data_cfg.names[c] if c < len(data_cfg.names) else str(c)
+        print(f"{name:>12} {out['seen']:>8} {d['p']:8.4f} {d['r']:8.4f} "
+              f"{d['ap50']:8.4f} {'':8} {d['ap']:8.4f}")
+
+    if args.kaist_ann:
+        from icafusion_tpu.eval.kaist import evaluate_kaist
+        mr = evaluate_kaist(args.kaist_ann, str(save_dir / "labels" / "result.txt"))
+        print("KAIST MR suite:", json.dumps(
+            {k: round(v * 100, 2) for k, v in mr.as_dict().items()}))
+
+    save_dir.mkdir(parents=True, exist_ok=True)
+    summary = {k: v for k, v in out.items() if k not in ("cm", "per_class")}
+    summary["nt"] = out["nt"].tolist() if hasattr(out.get("nt"), "tolist") else out.get("nt")
+    (save_dir / "metrics.json").write_text(json.dumps(summary, indent=2))
+    return out
+
+
+if __name__ == "__main__":
+    main()

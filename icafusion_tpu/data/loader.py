@@ -20,9 +20,13 @@ import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Optional
 
+import cv2
 import numpy as np
 
 from icafusion_tpu.data.datasets import PairedDetectionDataset
+
+# avoid cv2-internal threads fighting the worker pool (reference general.py:33)
+cv2.setNumThreads(0)
 
 
 @dataclasses.dataclass

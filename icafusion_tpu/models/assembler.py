@@ -239,9 +239,15 @@ class ICAFusionModel(nn.Module):
         return anchors_grid_units(self.cfg)
 
     @nn.compact
-    def __call__(self, x, x2=None, train: bool = False, decode: Optional[bool] = None):
+    def __call__(self, x, x2=None, train: bool = False, decode: Optional[bool] = None,
+                 overrides: Optional[Dict[int, Any]] = None,
+                 capture: Tuple[int, ...] = ()):
+        """overrides: {layer_idx: activation} — replace a layer's output (Grad-CAM
+        re-entry); capture: layer indices whose activations to also return. With
+        capture non-empty the return value is (outputs, {idx: activation})."""
         resolved, save = resolve_model(self.cfg)
         y: Dict[int, Any] = {}
+        captured: Dict[int, Any] = {}
         out = x.astype(self.dtype)
         x2 = out if x2 is None else x2.astype(self.dtype)
 
@@ -267,8 +273,14 @@ class ICAFusionModel(nn.Module):
             else:
                 out = MODULE_BUILDERS[r.module](r.args, self.dtype,
                                                 f"m{r.i}")(inp, train=train)
+            if overrides and r.i in overrides:
+                out = overrides[r.i]
+            if r.i in capture:
+                captured[r.i] = out
             if r.i in save:
                 y[r.i] = out
+        if capture:
+            return out, captured
         return out
 
 

@@ -102,6 +102,21 @@ def adaptive_pool2d(x, out_h: int, out_w: int, pool_type: str = "avg"):
     return nn.max_pool(x, (kh, kw), strides=(sh, sw), padding="VALID")
 
 
+class _Proj(nn.Module):
+    """Dense-parameter holder (same param tree as nn.Dense: kernel/bias) whose
+    weights can be consumed either by the einsum path or the fused Pallas kernel."""
+    d_in: int
+    d_out: int
+    std: float = 0.001
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.normal(stddev=self.std),
+                       (self.d_in, self.d_out), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.d_out,), jnp.float32)
+        return k, b
+
+
 class CrossAttention(nn.Module):
     """Dual cross-attention (common.py:590-687).
 
@@ -111,11 +126,15 @@ class CrossAttention(nn.Module):
     i.e. each modality's features are *queried by the other*. Returns [out_vis, out_ir].
 
     Projection init follows the reference (normal std=0.001, zero bias —
-    common.py:627-639). dk = d_model // h (common.py:601)."""
+    common.py:627-639). dk = d_model // h (common.py:601).
+
+    Inference on TPU runs the fused Pallas kernel (kernels/cross_attention.py);
+    training keeps the differentiable einsum path (identical math, plus dropout)."""
     d_model: int
     h: int = 8
     attn_pdrop: float = 0.1
     resid_pdrop: float = 0.1
+    use_pallas: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -123,45 +142,61 @@ class CrossAttention(nn.Module):
         vis, ir = xs[0], xs[1]
         b, n, c = vis.shape
         dk = self.d_model // self.h
-        w_init = nn.initializers.normal(stddev=0.001)
+        d = self.d_model
 
-        def proj(x, name):
-            return nn.Dense(self.d_model, kernel_init=w_init,
-                            bias_init=nn.initializers.zeros,
-                            dtype=self.dtype, name=name)(x)
+        proj_w = {name: _Proj(d, d, name=name)()
+                  for name in ("q_vis", "k_vis", "v_vis", "q_ir", "k_ir", "v_ir")}
 
         vis_n = nn.LayerNorm(dtype=jnp.float32, name="ln_vis")(vis)
         ir_n = nn.LayerNorm(dtype=jnp.float32, name="ln_ir")(ir)
 
-        def heads(t):  # (b, n, d_model) -> (b, h, n, dk)
-            return t.reshape(b, n, self.h, dk).transpose(0, 2, 1, 3)
+        use_kernel = (self.use_pallas and not train
+                      and jax.default_backend() != "cpu")
+        if use_kernel:
+            from icafusion_tpu.kernels.cross_attention import dual_cross_attention
+            w = {k: v[0].astype(self.dtype) for k, v in proj_w.items()}
+            bb = {k: v[1].astype(jnp.float32) for k, v in proj_w.items()}
+            out_vis, out_ir = dual_cross_attention(
+                vis_n.astype(self.dtype), ir_n.astype(self.dtype),
+                w["q_vis"], w["k_vis"], w["v_vis"],
+                w["q_ir"], w["k_ir"], w["v_ir"],
+                bb["q_vis"], bb["k_vis"], bb["v_vis"],
+                bb["q_ir"], bb["k_ir"], bb["v_ir"], num_heads=self.h)
+        else:
+            def proj(x, name):
+                k, bias = proj_w[name]
+                return (x.astype(self.dtype) @ k.astype(self.dtype)
+                        + bias.astype(self.dtype))
 
-        q_vis = heads(proj(vis_n, "q_vis"))
-        k_vis = heads(proj(vis_n, "k_vis"))
-        v_vis = heads(proj(vis_n, "v_vis"))
-        q_ir = heads(proj(ir_n, "q_ir"))
-        k_ir = heads(proj(ir_n, "k_ir"))
-        v_ir = heads(proj(ir_n, "v_ir"))
+            def heads(t):  # (b, n, d) -> (b, h, n, dk)
+                return t.reshape(b, n, self.h, dk).transpose(0, 2, 1, 3)
 
-        scale = 1.0 / math.sqrt(dk)
+            q_vis = heads(proj(vis_n, "q_vis"))
+            k_vis = heads(proj(vis_n, "k_vis"))
+            v_vis = heads(proj(vis_n, "v_vis"))
+            q_ir = heads(proj(ir_n, "q_ir"))
+            k_ir = heads(proj(ir_n, "k_ir"))
+            v_ir = heads(proj(ir_n, "v_ir"))
+            scale = 1.0 / math.sqrt(dk)
 
-        def attend(q, k, v):
-            logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                                preferred_element_type=jnp.float32) * scale
-            a = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-            a = nn.Dropout(self.attn_pdrop, deterministic=not train)(a)
-            o = jnp.einsum("bhqk,bhkd->bhqd", a, v,
-                           preferred_element_type=jnp.float32)
-            return o.astype(self.dtype).transpose(0, 2, 1, 3).reshape(b, n, self.d_model)
+            def attend(q, k, v):
+                logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                                    preferred_element_type=jnp.float32) * scale
+                a = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+                a = nn.Dropout(self.attn_pdrop, deterministic=not train)(a)
+                o = jnp.einsum("bhqk,bhkd->bhqd", a, v,
+                               preferred_element_type=jnp.float32)
+                return o.astype(self.dtype).transpose(0, 2, 1, 3).reshape(b, n, d)
 
-        out_vis = attend(q_ir, k_vis, v_vis)   # vis values, ir queries
-        out_ir = attend(q_vis, k_ir, v_ir)     # ir values, vis queries
+            out_vis = attend(q_ir, k_vis, v_vis)   # vis values, ir queries
+            out_ir = attend(q_vis, k_ir, v_ir)     # ir values, vis queries
 
-        out_vis = nn.Dense(self.d_model, kernel_init=w_init, dtype=self.dtype,
-                           name="out_vis")(out_vis)
+        w_init = nn.initializers.normal(stddev=0.001)
+        out_vis = nn.Dense(d, kernel_init=w_init, dtype=self.dtype,
+                           name="out_vis")(out_vis.astype(self.dtype))
         out_vis = nn.Dropout(self.resid_pdrop, deterministic=not train)(out_vis)
-        out_ir = nn.Dense(self.d_model, kernel_init=w_init, dtype=self.dtype,
-                          name="out_ir")(out_ir)
+        out_ir = nn.Dense(d, kernel_init=w_init, dtype=self.dtype,
+                          name="out_ir")(out_ir.astype(self.dtype))
         out_ir = nn.Dropout(self.resid_pdrop, deterministic=not train)(out_ir)
         return [out_vis, out_ir]
 

@@ -1,0 +1,202 @@
+"""Full training driver — the counterpart of reference train.py:42-490 (train_rgb_ir).
+
+Orchestrates: config load -> datasets/loaders -> model build -> (optional)
+pretrained weight conversion -> anchor check -> SPMD train steps over a device
+mesh -> per-epoch EMA evaluation -> results.csv -> last/best checkpoints ->
+final strip. Differences from the reference are all TPU-shaped:
+
+- one jitted step; the epoch loop is pure host orchestration
+- DDP/NCCL -> jax.sharding data mesh (single host here; multi-host via
+  jax.distributed.initialize would reuse the same program)
+- AMP/GradScaler -> bf16 compute under fp32 params (optional)
+- eval runs batched on device, not batch-1 (train.py:382)
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from icafusion_tpu.config import DataConfig, HypConfig, ModelConfig
+from icafusion_tpu.data.datasets import PairedDetectionDataset
+from icafusion_tpu.data.loader import PairedLoader
+from icafusion_tpu.eval.evaluator import Evaluator
+from icafusion_tpu.eval.metrics import fitness
+from icafusion_tpu.models.assembler import build_model
+from icafusion_tpu.parallel.mesh import make_mesh
+from icafusion_tpu.train.trainer import Trainer
+from icafusion_tpu.utils.checkpoint import (load_checkpoint, restore_train_state,
+                                            save_checkpoint, strip_checkpoint)
+from icafusion_tpu.utils.general import colorstr, increment_path
+
+RESULTS_HEADER = ["epoch", "lbox", "lobj", "lcls", "P", "R", "mAP50", "mAP",
+                  "fitness", "lr", "time_s"]
+
+
+@dataclasses.dataclass
+class FitConfig:
+    model_cfg: ModelConfig
+    data_cfg: DataConfig
+    hyp: HypConfig
+    epochs: int = 60
+    batch_size: int = 8
+    imgsz: int = 640
+    project: str = "runs/train"
+    name: str = "exp"
+    seed: int = 0
+    bf16: bool = False
+    max_targets: int = 128
+    eval_every: int = 1
+    save_every: int = 1                  # last.ckpt save period (epochs)
+    pretrained: Optional[str] = None     # reference .pt or our .ckpt
+    resume: Optional[str] = None
+    n_devices: Optional[int] = None
+    workers: int = 8
+    warmup_min_steps: int = 1000         # reference floor (train.py:264)
+
+
+def fit(cfg: FitConfig) -> dict:
+    run_dir = increment_path(Path(cfg.project) / cfg.name)
+    wdir = run_dir / "weights"
+    wdir.mkdir(parents=True, exist_ok=True)
+    print(colorstr("run dir: ") + str(run_dir))
+
+    # --- data ---
+    root = Path(cfg.data_cfg.path)
+    train_ds = PairedDetectionDataset(
+        str(root / cfg.data_cfg.train_rgb), str(root / cfg.data_cfg.train_ir),
+        img_size=cfg.imgsz, hyp=cfg.hyp, augment=True, nc=cfg.data_cfg.nc,
+        cache_dir=str(run_dir / ".cache"))
+    val_ds = PairedDetectionDataset(
+        str(root / cfg.data_cfg.val_rgb), str(root / cfg.data_cfg.val_ir),
+        img_size=cfg.imgsz, hyp=cfg.hyp, augment=False, nc=cfg.data_cfg.nc,
+        cache_dir=str(run_dir / ".cache"))
+    loader = PairedLoader(train_ds, batch_size=cfg.batch_size,
+                          max_targets=cfg.max_targets, seed=cfg.seed,
+                          num_workers=cfg.workers)
+    val_loader = PairedLoader(val_ds, batch_size=cfg.batch_size, shuffle=False,
+                              num_workers=cfg.workers)
+
+    # --- model + trainer ---
+    dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
+    model = build_model(cfg.model_cfg, dtype=dtype)
+    trainer = Trainer(model=model, hyp=cfg.hyp, epochs=cfg.epochs,
+                      steps_per_epoch=loader.steps_per_epoch,
+                      batch_size=cfg.batch_size, imgsz=cfg.imgsz,
+                      warmup_min_steps=cfg.warmup_min_steps)
+
+    sample = next(iter(loader.epoch(0)))
+    state = trainer.init_state(jax.random.PRNGKey(cfg.seed),
+                               sample["rgb"][:1].astype(np.float32),
+                               sample["ir"][:1].astype(np.float32))
+
+    if cfg.pretrained:
+        state = _load_pretrained(cfg.pretrained, state, model)
+    start_epoch, best_fit = 0, 0.0
+    if cfg.resume:
+        ckpt = load_checkpoint(cfg.resume)
+        state = restore_train_state(ckpt, state)
+        start_epoch = int(ckpt["meta"]["epoch"]) + 1
+        best_fit = float(ckpt["meta"]["best_fitness"])
+        print(f"resumed from {cfg.resume} at epoch {start_epoch}")
+
+    # --- SPMD step over the data mesh ---
+    mesh = make_mesh(cfg.n_devices)
+    repl = NamedSharding(mesh, P())
+    data_sh = NamedSharding(mesh, P("data"))
+    state = jax.device_put(state, repl)
+    raw_step = trainer.make_train_step()
+
+    @jax.jit
+    def step_u8(st, rgb, ir, t, m):
+        return raw_step(st, rgb.astype(jnp.float32) / 255.0,
+                        ir.astype(jnp.float32) / 255.0, t, m)
+
+    step = jax.jit(step_u8, in_shardings=(repl, data_sh, data_sh, data_sh, data_sh),
+                   out_shardings=(repl, repl), donate_argnums=(0,))
+
+    evaluator = Evaluator(model=model, nc=cfg.data_cfg.nc)
+
+    results_csv = run_dir / "results.csv"
+    if not results_csv.exists():
+        with open(results_csv, "w", newline="") as f:
+            csv.writer(f).writerow(RESULTS_HEADER)
+
+    final = {}
+    for epoch in range(start_epoch, cfg.epochs):
+        t0 = time.time()
+        means = np.zeros(4)
+        n = 0
+        for batch in loader.epoch(epoch):
+            state, metrics = step(
+                state, jax.device_put(batch["rgb"], data_sh),
+                jax.device_put(batch["ir"], data_sh),
+                jax.device_put(batch["targets"], data_sh),
+                jax.device_put(batch["mask"], data_sh))
+            n += 1
+            if n % 50 == 0 or n == loader.steps_per_epoch:
+                items = np.array([float(metrics["lbox"]), float(metrics["lobj"]),
+                                  float(metrics["lcls"]), float(metrics["loss"])])
+                means = items  # last-step snapshot (cheap; full means cost a sync/step)
+        lr_now = float(metrics["lr"])
+
+        ev = {"mp": 0, "mr": 0, "map50": 0, "map": 0}
+        if (epoch + 1) % cfg.eval_every == 0 or epoch == cfg.epochs - 1:
+            ema_vars = jax.device_get(state.ema.tree)
+            ev = evaluator.run(ema_vars, val_loader.val_batches(), cfg.imgsz)
+            fit_val = fitness(np.array([0, 0, 0, 0, ev["mp"], ev["mr"],
+                                        ev["map50"], ev["map"]]))
+            if fit_val > best_fit:
+                best_fit = fit_val
+                save_checkpoint(wdir / "best.ckpt", state, epoch, best_fit)
+        if (epoch + 1) % cfg.save_every == 0 or epoch == cfg.epochs - 1:
+            save_checkpoint(wdir / "last.ckpt", state, epoch, best_fit)
+
+        dt = time.time() - t0
+        with open(results_csv, "a", newline="") as f:
+            csv.writer(f).writerow(
+                [epoch, *[f"{x:.5f}" for x in means[:3]],
+                 f"{ev['mp']:.5f}", f"{ev['mr']:.5f}", f"{ev['map50']:.5f}",
+                 f"{ev['map']:.5f}", f"{best_fit:.5f}", f"{lr_now:.6f}",
+                 f"{dt:.1f}"])
+        print(f"epoch {epoch}/{cfg.epochs - 1}: loss={means[3]:.4f} "
+              f"mAP50={ev['map50']:.4f} best={best_fit:.4f} ({dt:.0f}s)")
+        final = ev
+
+    strip_checkpoint(wdir / "best.ckpt" if (wdir / "best.ckpt").exists()
+                     else wdir / "last.ckpt", wdir / "stripped.ckpt")
+    final["best_fitness"] = best_fit
+    final["run_dir"] = str(run_dir)
+    return final
+
+
+def _load_pretrained(path: str, state, model):
+    """Reference .pt (converted, incl. stream remap) or our .ckpt."""
+    from icafusion_tpu.utils.torch_convert import (convert_state_dict,
+                                                   load_torch_checkpoint,
+                                                   remap_single_stream_to_two_stream)
+    if path.endswith(".pt"):
+        sd = load_torch_checkpoint(path)
+        if not any(k.startswith("model.10.") for k in sd):
+            sd = remap_single_stream_to_two_stream(sd)
+        variables, unused = convert_state_dict(
+            sd, {"params": state.params, "batch_stats": state.batch_stats},
+            strict=False)
+        print(f"pretrained: converted {path} ({len(unused)} unused ref keys)")
+        return state.replace(params=variables["params"],
+                             batch_stats=variables["batch_stats"])
+    ckpt = load_checkpoint(path)
+    tree = ckpt.get("ema_tree", ckpt)
+    return state.replace(
+        params=jax.tree.map(lambda a, b: np.asarray(b, np.float32),
+                            state.params, tree["params"]),
+        batch_stats=jax.tree.map(lambda a, b: np.asarray(b, np.float32),
+                                 state.batch_stats, tree["batch_stats"]))

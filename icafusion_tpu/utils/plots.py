@@ -1,0 +1,162 @@
+"""Plotting / visual-artifact utilities (host-side, matplotlib/cv2).
+
+Behavioral counterparts of reference utils/plots.py:
+- plot_one_box (:67-87)                  — box + caption on an image
+- plot_images (:173-249)                 — batch mosaic with boxes
+- plot_labels (:330-375)                 — class/box distribution panels
+- plot_results (:457-480)                — results.csv training curves
+- plot_pr_curve / plot_mc_curve (metrics.py:190-227)
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+from typing import Optional, Sequence
+
+import matplotlib
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import numpy as np
+
+COLORS = [(255, 56, 56), (50, 205, 50), (65, 105, 225), (255, 157, 151),
+          (255, 112, 31), (147, 69, 52), (72, 249, 10), (26, 147, 52),
+          (0, 212, 187), (255, 56, 132)]
+
+
+def color(i: int):
+    return COLORS[int(i) % len(COLORS)]
+
+
+def plot_one_box(img, xyxy, label: str = "", col=(255, 56, 56)):
+    """Draw one labelled box in place (plots.py:67-87)."""
+    import cv2
+    x1, y1, x2, y2 = (int(v) for v in xyxy)
+    tl = max(round(0.002 * (img.shape[0] + img.shape[1]) / 2), 1)
+    cv2.rectangle(img, (x1, y1), (x2, y2), col, tl, cv2.LINE_AA)
+    if label:
+        tf = max(tl - 1, 1)
+        ts = cv2.getTextSize(label, 0, fontScale=tl / 3, thickness=tf)[0]
+        cv2.rectangle(img, (x1, y1), (x1 + ts[0], y1 - ts[1] - 3), col, -1,
+                      cv2.LINE_AA)
+        cv2.putText(img, label, (x1, y1 - 2), 0, tl / 3, (225, 255, 255), tf,
+                    cv2.LINE_AA)
+
+
+def plot_images(images, targets, masks=None, path=None, names=None,
+                max_images: int = 16):
+    """Batch mosaic with target boxes (plots.py:173-249). images: (B,H,W,3) uint8
+    or float 0-1; targets: (B,T,5) normalized cls+xywh with (B,T) mask."""
+    import cv2
+    imgs = np.asarray(images)[:max_images]
+    if imgs.dtype != np.uint8:
+        imgs = (imgs * 255).clip(0, 255).astype(np.uint8)
+    B, H, W, _ = imgs.shape
+    cols = int(math.ceil(math.sqrt(B)))
+    rows = int(math.ceil(B / cols))
+    canvas = np.full((rows * H, cols * W, 3), 255, np.uint8)
+    for i in range(B):
+        r, c = divmod(i, cols)
+        tile = imgs[i].copy()
+        t = np.asarray(targets[i])
+        m = np.asarray(masks[i]) if masks is not None else np.ones(len(t), bool)
+        for row, ok in zip(t, m):
+            if not ok:
+                continue
+            cls, cx, cy, bw, bh = row
+            x1 = (cx - bw / 2) * W
+            y1 = (cy - bh / 2) * H
+            x2 = (cx + bw / 2) * W
+            y2 = (cy + bh / 2) * H
+            lab = names[int(cls)] if names else str(int(cls))
+            plot_one_box(tile, (x1, y1, x2, y2), lab, color(cls))
+        canvas[r * H:(r + 1) * H, c * W:(c + 1) * W] = tile
+    if path:
+        cv2.imwrite(str(path), canvas[:, :, ::-1])
+    return canvas
+
+
+def plot_labels(labels: Sequence[np.ndarray], names=None, save_dir="."):
+    """Class histogram + box center/size distributions (plots.py:330-375)."""
+    rows = np.concatenate([l for l in labels if len(l)], 0)
+    cls, boxes = rows[:, 0], rows[:, 1:5]
+    nc = int(cls.max()) + 1
+    fig, ax = plt.subplots(2, 2, figsize=(8, 8), tight_layout=True)
+    ax = ax.ravel()
+    ax[0].hist(cls, bins=np.arange(nc + 1) - 0.5, rwidth=0.8)
+    ax[0].set_xlabel("class")
+    if names and len(names) == nc:
+        ax[0].set_xticks(range(nc))
+        ax[0].set_xticklabels(names, rotation=90, fontsize=8)
+    ax[1].scatter(boxes[:, 0], boxes[:, 1], c=cls, s=3, cmap="tab10")
+    ax[1].set_xlabel("x")
+    ax[1].set_ylabel("y")
+    ax[2].scatter(boxes[:, 2], boxes[:, 3], c=cls, s=3, cmap="tab10")
+    ax[2].set_xlabel("width")
+    ax[2].set_ylabel("height")
+    ax[3].hist2d(boxes[:, 2], boxes[:, 3], bins=50, cmap="Blues")
+    ax[3].set_xlabel("width")
+    ax[3].set_ylabel("height")
+    out = Path(save_dir) / "labels.png"
+    fig.savefig(out, dpi=150)
+    plt.close(fig)
+    return out
+
+
+def plot_results(csv_path, save_path=None):
+    """Training curves from results.csv (plots.py:457-480)."""
+    import csv as csvmod
+    rows = list(csvmod.DictReader(open(csv_path)))
+    if not rows:
+        return None
+    keys = [k for k in rows[0] if k not in ("epoch",)]
+    epochs = [int(r["epoch"]) for r in rows]
+    n = len(keys)
+    cols = 5
+    rws = int(math.ceil(n / cols))
+    fig, ax = plt.subplots(rws, cols, figsize=(3 * cols, 3 * rws),
+                           tight_layout=True)
+    ax = np.atleast_1d(ax).ravel()
+    for i, k in enumerate(keys):
+        vals = [float(r[k]) for r in rows]
+        ax[i].plot(epochs, vals, ".-")
+        ax[i].set_title(k, fontsize=9)
+    for j in range(n, len(ax)):
+        ax[j].axis("off")
+    out = Path(save_path or Path(csv_path).with_name("results.png"))
+    fig.savefig(out, dpi=150)
+    plt.close(fig)
+    return out
+
+
+def plot_pr_curve(px, py, ap, save_path, names=()):
+    """PR curves per class (metrics.py:190-205)."""
+    fig, ax = plt.subplots(1, 1, figsize=(9, 6), tight_layout=True)
+    py = np.stack(py, axis=1) if isinstance(py, list) else py
+    for i in range(py.shape[1]):
+        label = f"{names[i]} {ap[i, 0]:.3f}" if len(names) == py.shape[1] else None
+        ax.plot(px, py[:, i], linewidth=1, label=label)
+    ax.plot(px, py.mean(1), linewidth=3, color="blue",
+            label=f"all classes {ap[:, 0].mean():.3f} mAP@0.5")
+    ax.set_xlabel("Recall")
+    ax.set_ylabel("Precision")
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1)
+    ax.legend(loc="lower left", fontsize=8)
+    fig.savefig(save_path, dpi=250)
+    plt.close(fig)
+
+
+def plot_mr_fppi(fppi, missrate, save_path, label=""):
+    """KAIST MR-FPPI log-log curve (evaluation_script.py:397-430 draw_figure)."""
+    fig, ax = plt.subplots(figsize=(8, 6), tight_layout=True)
+    ax.plot(fppi, missrate, linewidth=2, label=label)
+    ax.set_xscale("log")
+    ax.set_yscale("log")
+    ax.set_xlabel("false positives per image")
+    ax.set_ylabel("miss rate")
+    ax.grid(which="both", alpha=0.3)
+    if label:
+        ax.legend()
+    fig.savefig(save_path, dpi=150)
+    plt.close(fig)

@@ -1,0 +1,53 @@
+"""Pallas kernel parity tests (interpret mode on CPU): the fused dual
+cross-attention must match the einsum reference math exactly."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from icafusion_tpu.kernels.cross_attention import dual_cross_attention
+
+
+def einsum_reference(vis, ir, w, b, h):
+    B, N, D = vis.shape
+    dk = D // h
+
+    def proj(x, name):
+        return x @ w[name] + b[name]
+
+    def heads(t):
+        return t.reshape(B, N, h, dk).transpose(0, 2, 1, 3)
+
+    def attend(q, k, v):
+        logits = np.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(dk)
+        e = np.exp(logits - logits.max(-1, keepdims=True))
+        a = e / e.sum(-1, keepdims=True)
+        o = np.einsum("bhqk,bhkd->bhqd", a, v)
+        return o.transpose(0, 2, 1, 3).reshape(B, N, D)
+
+    q_vis, k_vis, v_vis = (heads(proj(vis, n)) for n in ("q_vis", "k_vis", "v_vis"))
+    q_ir, k_ir, v_ir = (heads(proj(ir, n)) for n in ("q_ir", "k_ir", "v_ir"))
+    return attend(q_ir, k_vis, v_vis), attend(q_vis, k_ir, v_ir)
+
+
+@pytest.mark.parametrize("shape", [(2, 16, 64), (1, 100, 128)])
+def test_dual_cross_attention_interpret(shape):
+    B, N, D = shape
+    h = 8
+    rng = np.random.default_rng(0)
+    vis = rng.normal(0, 1, (B, N, D)).astype(np.float32)
+    ir = rng.normal(0, 1, (B, N, D)).astype(np.float32)
+    names = ("q_vis", "k_vis", "v_vis", "q_ir", "k_ir", "v_ir")
+    w = {n: rng.normal(0, 0.05, (D, D)).astype(np.float32) for n in names}
+    b = {n: rng.normal(0, 0.01, (D,)).astype(np.float32) for n in names}
+
+    out_vis, out_ir = dual_cross_attention(
+        jnp.asarray(vis), jnp.asarray(ir),
+        *[jnp.asarray(w[n]) for n in names],
+        *[jnp.asarray(b[n]) for n in names],
+        num_heads=h, interpret=True)
+    ref_vis, ref_ir = einsum_reference(vis, ir, w, b, h)
+    np.testing.assert_allclose(np.asarray(out_vis), ref_vis, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_ir), ref_ir, rtol=2e-4, atol=2e-5)
