@@ -39,6 +39,8 @@ class PairedLoader:
     num_workers: int = 8
     drop_last: bool = True
     prefetch: int = 4
+    image_weights: bool = False   # class-aware epoch resampling (train.py:267-278)
+    class_weights: Optional[np.ndarray] = None
 
     def __post_init__(self):
         n = len(self.dataset)
@@ -46,9 +48,19 @@ class PairedLoader:
             (n + self.batch_size - 1) // self.batch_size
 
     def _epoch_indices(self, epoch: int) -> np.ndarray:
-        idx = np.arange(len(self.dataset))
-        if self.shuffle:
-            np.random.default_rng(self.seed + epoch).shuffle(idx)
+        rng = np.random.default_rng(self.seed + epoch)
+        n = len(self.dataset)
+        if self.image_weights:
+            from icafusion_tpu.utils.general import labels_to_image_weights
+            nc = self.dataset.nc or 1
+            w = labels_to_image_weights(self.dataset.labels, nc,
+                                        self.class_weights)
+            w = w / max(w.sum(), 1e-9)
+            idx = rng.choice(n, size=n, replace=True, p=w)
+        else:
+            idx = np.arange(n)
+            if self.shuffle:
+                rng.shuffle(idx)
         if self.drop_last:
             idx = idx[: self.steps_per_epoch * self.batch_size]
         return idx
@@ -103,26 +115,51 @@ class PairedLoader:
                 break
             yield item
 
-    def val_batches(self) -> Iterator[dict]:
+    def val_batches(self, use_native: bool = True) -> Iterator[dict]:
         """Fixed-shape eval batches; last batch padded by repeating the final
-        sample (extra rows masked out via 'count')."""
+        sample (extra rows masked out via 'count'). Uses the native C++
+        decode+letterbox pipeline when available (JPEG sources only)."""
+        from icafusion_tpu.data import native as native_mod
+
         n = len(self.dataset)
-        for start in range(0, n, self.batch_size):
-            idx = list(range(start, min(start + self.batch_size, n)))
+        S = self.dataset.img_size
+        B = self.batch_size
+        native_ok = (use_native and native_mod.available()
+                     and all(p.lower().endswith((".jpg", ".jpeg"))
+                             for p in self.dataset.files_rgb[:8]))
+        for start in range(0, n, B):
+            idx = list(range(start, min(start + B, n)))
             count = len(idx)
-            while len(idx) < self.batch_size:
+            while len(idx) < B:
                 idx.append(idx[-1])
-            B = self.batch_size
-            S = self.dataset.img_size
+            labels = [self.dataset.labels[i].copy() for i in idx]
+            if native_ok:
+                rgb_paths = [self.dataset.files_rgb[i] for i in idx]
+                ir_paths = [self.dataset.files_ir[i] for i in idx]
+                try:
+                    # scaleup=True matches the reference's combined geometry:
+                    # load_image resizes max-side to img_size unconditionally
+                    # (datasets.py:1117-1122), then letterbox pads
+                    rgb, ir, ratios, pads, hw = native_mod.decode_letterbox_batch(
+                        rgb_paths, ir_paths, S, scaleup=True,
+                        n_threads=self.num_workers)
+                    shapes = [((int(hw[k, 0]), int(hw[k, 1])),
+                               ((float(ratios[k, 0]), float(ratios[k, 1])),
+                                (float(pads[k, 0]), float(pads[k, 1]))))
+                              for k in range(B)]
+                    yield {"rgb": rgb, "ir": ir, "labels": labels,
+                           "shapes": shapes, "count": count,
+                           "paths": rgb_paths}
+                    continue
+                except RuntimeError:
+                    native_ok = False  # fall back to cv2 for the rest
             rgb = np.empty((B, S, S, 3), np.uint8)
             ir = np.empty((B, S, S, 3), np.uint8)
-            labels = []
             shapes = []
             for slot, i in enumerate(idx):
                 r, i2, lab, shp = self.dataset.val_sample(i)
                 rgb[slot] = r
                 ir[slot] = i2
-                labels.append(lab)
                 shapes.append(shp)
             yield {"rgb": rgb, "ir": ir, "labels": labels, "shapes": shapes,
                    "count": count,

@@ -33,6 +33,14 @@ from icafusion_tpu.nn.layers import Conv
 
 Dtype = Any
 
+# global switch for the fused attention kernel (bench A/B; see CrossAttention)
+PALLAS_ENABLED = True
+
+
+def set_pallas_enabled(flag: bool):
+    global PALLAS_ENABLED
+    PALLAS_ENABLED = bool(flag)
+
 
 class Add(nn.Module):
     """w*x0 + (1-w)*x1 (common.py:324-331). YAML arg is the (ignored) channel count;
@@ -150,7 +158,7 @@ class CrossAttention(nn.Module):
         vis_n = nn.LayerNorm(dtype=jnp.float32, name="ln_vis")(vis)
         ir_n = nn.LayerNorm(dtype=jnp.float32, name="ln_ir")(ir)
 
-        use_kernel = (self.use_pallas and not train
+        use_kernel = (self.use_pallas and PALLAS_ENABLED and not train
                       and jax.default_backend() != "cpu")
         if use_kernel:
             from icafusion_tpu.kernels.cross_attention import dual_cross_attention

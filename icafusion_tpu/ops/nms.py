@@ -65,20 +65,27 @@ def _greedy_nms(boxes_off, scores, iou_thres: float, max_det: int):
 
 
 @functools.partial(jax.jit, static_argnames=("conf_thres", "iou_thres", "multi_label",
-                                             "agnostic", "max_det", "top_k"))
+                                             "agnostic", "max_det", "top_k",
+                                             "use_pallas"))
 def non_max_suppression(prediction, conf_thres: float = 0.25, iou_thres: float = 0.45,
                         multi_label: bool = False, agnostic: bool = False,
-                        max_det: int = 300, top_k: int = 4096) -> Detections:
+                        max_det: int = 300, top_k: int = 4096,
+                        use_pallas: bool = None) -> Detections:
     """Batched NMS over decoded predictions (B, N, 5+nc) in xywh+obj+cls layout.
 
     Equivalent to reference general.py:518-607 with fixed shapes. ``top_k`` bounds the
     candidate pool entering suppression (reference max_nms=30000; candidates beyond
-    the top 4k by confidence cannot alter the top-300 kept set in practice)."""
+    the top 4k by confidence cannot alter the top-300 kept set in practice).
+
+    On TPU the greedy selection loop runs as one Pallas kernel per image
+    (kernels/nms.py) — the lax.scan formulation costs ~300 sequential dispatches."""
     b, n, no = prediction.shape
     nc = no - 5
     multi_label = multi_label and nc > 1
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
 
-    def single(x):
+    def candidates(x):
         obj = x[:, 4]
         cls = x[:, 5:]
         gate = obj > conf_thres                      # candidate gate (general.py:527)
@@ -105,14 +112,22 @@ def non_max_suppression(prediction, conf_thres: float = 0.25, iou_thres: float =
         offset = 0.0 if agnostic else ci[:, None] * MAX_WH
         boxes_off = cand_boxes + offset
         s = jnp.where(s > 0, s, -1.0)                # padding can never be selected
+        return cand_boxes, boxes_off, s, ci
 
-        keep, ok = _greedy_nms(boxes_off, s, iou_thres, max_det)
-        out_boxes = cand_boxes[keep]
-        out_scores = jnp.clip(s[keep], 0.0)
-        out_cls = ci[keep].astype(jnp.int32)
-        return Detections(out_boxes, out_scores, out_cls, ok)
+    cand_boxes, boxes_off, s, ci = jax.vmap(candidates)(prediction)
 
-    return jax.vmap(single)(prediction)
+    if use_pallas:
+        from icafusion_tpu.kernels.nms import pallas_greedy_nms
+        keep, ok = pallas_greedy_nms(boxes_off, s, iou_thres, max_det)
+    else:
+        keep, ok = jax.vmap(
+            lambda bo, sc: _greedy_nms(bo, sc, iou_thres, max_det))(boxes_off, s)
+
+    take = jax.vmap(lambda arr, idx: arr[idx])
+    out_boxes = take(cand_boxes, keep)
+    out_scores = jnp.clip(take(s, keep), 0.0)
+    out_cls = take(ci, keep).astype(jnp.int32)
+    return Detections(out_boxes, out_scores, out_cls, ok)
 
 
 def batched_nms(boxes, scores, classes, iou_thres: float = 0.45,

@@ -1,0 +1,88 @@
+"""Minimal HTTP detection service — counterpart of the reference's Flask REST demo
+(utils/flask_rest_api/restapi.py:16-37), stdlib-only and two-stream.
+
+POST /v1/detect with a JSON body {"rgb": <base64 jpeg>, "ir": <base64 jpeg>}
+returns JSON detections [{"xmin","ymin","xmax","ymax","confidence","class"}]
+(the same fields as the reference's Detections.pandas() records).
+
+    python -m icafusion_tpu.serve.http_server --weights best.ckpt --cfg zoo:tfb:s
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import json
+import tempfile
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+ENGINE = None
+NAMES = None
+
+
+class Handler(BaseHTTPRequestHandler):
+    def log_message(self, fmt, *args):
+        pass
+
+    def do_POST(self):
+        if self.path != "/v1/detect":
+            self.send_response(404)
+            self.end_headers()
+            return
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(length))
+            with tempfile.NamedTemporaryFile(suffix=".jpg") as f1, \
+                    tempfile.NamedTemporaryFile(suffix=".jpg") as f2:
+                f1.write(base64.b64decode(body["rgb"]))
+                f2.write(base64.b64decode(body.get("ir", body["rgb"])))
+                f1.flush()
+                f2.flush()
+                dets = ENGINE.predict_paths([f1.name], [f2.name])[0]
+            records = [
+                {"xmin": float(x1), "ymin": float(y1), "xmax": float(x2),
+                 "ymax": float(y2), "confidence": float(c),
+                 "class": int(k),
+                 "name": NAMES[int(k)] if NAMES and int(k) < len(NAMES) else str(int(k))}
+                for x1, y1, x2, y2, c, k in dets]
+            payload = json.dumps(records).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+        except Exception as e:  # noqa: BLE001
+            msg = json.dumps({"error": str(e)}).encode()
+            self.send_response(400)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(msg)))
+            self.end_headers()
+            self.wfile.write(msg)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser("icafusion-serve")
+    ap.add_argument("--weights", required=True)
+    ap.add_argument("--cfg", required=True)
+    ap.add_argument("--img-size", type=int, default=640)
+    ap.add_argument("--port", type=int, default=5000)
+    ap.add_argument("--batch-size", type=int, default=1)
+    ap.add_argument("--names", nargs="*", default=None)
+    args = ap.parse_args(argv)
+
+    from icafusion_tpu.cli._common import load_model_for_inference, setup_jax
+    from icafusion_tpu.serve.engine import ServingEngine
+
+    setup_jax()
+    global ENGINE, NAMES
+    mc, model, variables = load_model_for_inference(args.cfg, args.weights)
+    NAMES = args.names
+    ENGINE = ServingEngine(model=model, variables=variables,
+                           img_size=args.img_size, batch_size=args.batch_size)
+    ENGINE.warmup()
+    print(f"serving on :{args.port} (POST /v1/detect)")
+    HTTPServer(("0.0.0.0", args.port), Handler).serve_forever()
+
+
+if __name__ == "__main__":
+    main()

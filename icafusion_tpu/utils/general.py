@@ -54,6 +54,28 @@ def init_seeds(seed: int = 0) -> np.random.Generator:
     return np.random.default_rng(seed)
 
 
+def labels_to_class_weights(labels, nc: int) -> np.ndarray:
+    """Inverse-frequency class weights (reference utils/general.py:204-218)."""
+    rows = np.concatenate([l for l in labels if len(l)], 0) if any(
+        len(l) for l in labels) else np.zeros((0, 5))
+    classes = rows[:, 0].astype(int)
+    weights = np.bincount(classes, minlength=nc).astype(np.float64)
+    weights[weights == 0] = 1
+    weights = 1 / weights
+    return (weights / weights.sum()).astype(np.float32)
+
+
+def labels_to_image_weights(labels, nc: int, class_weights=None) -> np.ndarray:
+    """Per-image sampling weights from class content (general.py:221-227),
+    feeding the --image-weights epoch resampling (train.py:267-278)."""
+    if class_weights is None:
+        class_weights = np.ones(nc, np.float32)
+    counts = np.array([np.bincount(l[:, 0].astype(int), minlength=nc)
+                       if len(l) else np.zeros(nc) for l in labels])
+    w = (class_weights.reshape(1, nc) * counts).sum(1)
+    return w
+
+
 def colorstr(*input):
     """ANSI color wrapper (reference utils/general.py:249-271)."""
     *args, string = input if len(input) > 1 else ("blue", "bold", input[0])

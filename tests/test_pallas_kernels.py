@@ -51,3 +51,27 @@ def test_dual_cross_attention_interpret(shape):
     ref_vis, ref_ir = einsum_reference(vis, ir, w, b, h)
     np.testing.assert_allclose(np.asarray(out_vis), ref_vis, rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(out_ir), ref_ir, rtol=2e-4, atol=2e-5)
+
+
+def test_pallas_nms_matches_scan():
+    """Pallas greedy NMS (interpret) must equal the lax.scan formulation."""
+    from icafusion_tpu.kernels.nms import pallas_greedy_nms
+    from icafusion_tpu.ops.nms import _greedy_nms
+
+    rng = np.random.default_rng(0)
+    B, K = 2, 128
+    boxes = np.zeros((B, K, 4), np.float32)
+    boxes[..., 0] = rng.uniform(0, 600, (B, K))
+    boxes[..., 1] = rng.uniform(0, 600, (B, K))
+    boxes[..., 2] = boxes[..., 0] + rng.uniform(5, 100, (B, K))
+    boxes[..., 3] = boxes[..., 1] + rng.uniform(5, 100, (B, K))
+    scores = -np.sort(-rng.uniform(0, 1, (B, K)).astype(np.float32), axis=1)
+    scores[:, 100:] = -1.0  # padding
+
+    keep_p, ok_p = pallas_greedy_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                                     0.45, 30, interpret=True)
+    keep_s, ok_s = jax.vmap(lambda b, s: _greedy_nms(b, s, 0.45, 30))(
+        jnp.asarray(boxes), jnp.asarray(scores))
+    np.testing.assert_array_equal(np.asarray(ok_p), np.asarray(ok_s))
+    np.testing.assert_array_equal(np.asarray(keep_p)[np.asarray(ok_p)],
+                                  np.asarray(keep_s)[np.asarray(ok_s)])
