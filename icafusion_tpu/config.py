@@ -19,6 +19,7 @@ import dataclasses
 from pathlib import Path
 from typing import Any, List, Optional, Sequence, Tuple, Union
 
+import numpy as np
 import yaml
 
 FromSpec = Union[int, Tuple[int, ...]]
@@ -218,6 +219,20 @@ def load_model_config(path_or_dict, nc: Optional[int] = None,
     return ModelConfig(nc=cfg_nc, depth_multiple=gd, width_multiple=gw,
                        anchors=anchors_t, layers=tuple(layers),
                        ch=int(d.get("ch", ch)), name=name)
+
+
+def with_anchors(cfg: ModelConfig, anchors) -> ModelConfig:
+    """New ModelConfig with replaced anchors (autoanchor result —
+    reference autoanchor.py:55-58 writes them back into the Detect module)."""
+    anchors_t = tuple(tuple(float(x) for x in row)
+                      for row in np.asarray(anchors).reshape(cfg.nl, -1))
+    layers = []
+    for l in cfg.layers:
+        if l.module == "Detect":
+            args = (l.args[0], anchors_t) + tuple(l.args[2:])
+            l = dataclasses.replace(l, args=args)
+        layers.append(l)
+    return dataclasses.replace(cfg, anchors=anchors_t, layers=tuple(layers))
 
 
 def load_data_config(path) -> DataConfig:

@@ -106,12 +106,14 @@ class Evaluator:
 
     def run(self, variables, val_batches, img_size: int,
             confusion: bool = False, mr_txt_dir: Optional[str] = None,
-            names: Optional[List[str]] = None):
+            names: Optional[List[str]] = None, coco_json: Optional[str] = None):
         """val_batches: iterator of dicts from PairedLoader.val_batches().
-        Returns the summarize() dict (+ 'cm' if confusion)."""
+        Returns the summarize() dict (+ 'cm' if confusion). coco_json: path to
+        also dump COCO-format detections (test.py:185-194)."""
         stats = []
         cm = ConfusionMatrix(self.nc) if confusion else None
         mr_lines = {}
+        jdict = []
         seen = 0
         for batch in val_batches:
             dets = self._infer(variables, jnp.asarray(batch["rgb"]),
@@ -156,10 +158,25 @@ class Evaluator:
                                      f"{y2 - y1:g},{conf:g}")
                     mr_lines[stem] = lines
 
+                if coco_json is not None:
+                    stem = Path(batch["paths"][si]).stem
+                    image_id = int(stem) if stem.isnumeric() else stem
+                    for x1, y1, x2, y2, conf, cls in predn:
+                        jdict.append({"image_id": image_id,
+                                      "category_id": int(cls),
+                                      "bbox": [round(float(x1), 3), round(float(y1), 3),
+                                               round(float(x2 - x1), 3),
+                                               round(float(y2 - y1), 3)],
+                                      "score": round(float(conf), 5)})
+
         out = summarize(stats, self.nc)
         out["seen"] = seen
         if cm is not None:
             out["cm"] = cm.matrix
+        if coco_json is not None:
+            import json
+            Path(coco_json).parent.mkdir(parents=True, exist_ok=True)
+            Path(coco_json).write_text(json.dumps(jdict))
         if mr_txt_dir is not None:
             d = Path(mr_txt_dir)
             d.mkdir(parents=True, exist_ok=True)

@@ -61,6 +61,8 @@ class FitConfig:
     n_devices: Optional[int] = None
     workers: int = 8
     warmup_min_steps: int = 1000         # reference floor (train.py:264)
+    autoanchor: bool = True              # check/evolve anchors (train.py:227-228)
+    image_weights: bool = False          # class-aware resampling (train.py:267-278)
 
 
 def fit(cfg: FitConfig) -> dict:
@@ -68,6 +70,27 @@ def fit(cfg: FitConfig) -> dict:
     wdir = run_dir / "weights"
     wdir.mkdir(parents=True, exist_ok=True)
     print(colorstr("run dir: ") + str(run_dir))
+
+    # reproducibility artifacts (reference train.py:56-59 re-serializes hyp/opt)
+    import dataclasses as _dc
+    import json as _json
+    import sys as _sys
+    import yaml as _yaml
+    (run_dir / "hyp.yaml").write_text(_yaml.safe_dump(cfg.hyp.as_dict()))
+    opt_payload = {k: v for k, v in _dc.asdict(cfg).items()
+                   if k not in ("model_cfg", "data_cfg", "hyp")}
+    (run_dir / "opt.json").write_text(_json.dumps(opt_payload, indent=2, default=str))
+    if len(_sys.argv) > 1:
+        argv, skip = [], False
+        for a in _sys.argv[1:]:
+            if skip:
+                skip = False
+                continue
+            if a == "--resume":
+                skip = True
+                continue
+            argv.append(a)
+        (run_dir / "train_args.txt").write_text(" ".join(argv))
 
     # --- data ---
     root = Path(cfg.data_cfg.path)
@@ -79,15 +102,31 @@ def fit(cfg: FitConfig) -> dict:
         str(root / cfg.data_cfg.val_rgb), str(root / cfg.data_cfg.val_ir),
         img_size=cfg.imgsz, hyp=cfg.hyp, augment=False, nc=cfg.data_cfg.nc,
         cache_dir=str(run_dir / ".cache"))
+    from icafusion_tpu.utils.general import labels_to_class_weights
+    class_w = labels_to_class_weights(train_ds.labels, cfg.data_cfg.nc)
     loader = PairedLoader(train_ds, batch_size=cfg.batch_size,
                           max_targets=cfg.max_targets, seed=cfg.seed,
-                          num_workers=cfg.workers)
+                          num_workers=cfg.workers,
+                          image_weights=cfg.image_weights, class_weights=class_w)
     val_loader = PairedLoader(val_ds, batch_size=cfg.batch_size, shuffle=False,
                               num_workers=cfg.workers)
 
+    # --- anchors (train.py:227-228) ---
+    model_cfg = cfg.model_cfg
+    if cfg.autoanchor:
+        from icafusion_tpu.config import with_anchors
+        from icafusion_tpu.train.autoanchor import maybe_autoanchor
+        anchors_px = np.asarray(model_cfg.anchors, np.float32).reshape(
+            model_cfg.nl, -1, 2)
+        new_anchors, changed = maybe_autoanchor(train_ds, anchors_px, cfg.imgsz,
+                                                thr=cfg.hyp.anchor_t)
+        if changed:
+            model_cfg = with_anchors(model_cfg, new_anchors)
+            print("autoanchor: updated model anchors")
+
     # --- model + trainer ---
     dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
-    model = build_model(cfg.model_cfg, dtype=dtype)
+    model = build_model(model_cfg, dtype=dtype)
     trainer = Trainer(model=model, hyp=cfg.hyp, epochs=cfg.epochs,
                       steps_per_epoch=loader.steps_per_epoch,
                       batch_size=cfg.batch_size, imgsz=cfg.imgsz,
