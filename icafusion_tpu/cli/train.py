@@ -33,6 +33,11 @@ def parse_args(argv=None):
     ap.add_argument("--save-every", type=int, default=1)
     ap.add_argument("--warmup-min", type=int, default=1000,
                     help="warmup floor in iterations (reference: 1000)")
+    ap.add_argument("--multi-scale", action="store_true",
+                    help="bucketed multi-scale training (compiles 5 step sizes)")
+    ap.add_argument("--image-weights", action="store_true",
+                    help="class-aware image resampling per epoch")
+    ap.add_argument("--noautoanchor", action="store_true")
     return ap.parse_args(argv)
 
 
@@ -55,7 +60,8 @@ def main(argv=None):
         name=args.name, seed=args.seed, bf16=args.bf16, workers=args.workers,
         eval_every=args.eval_every, pretrained=args.weights, resume=args.resume,
         n_devices=args.devices, save_every=args.save_every,
-        warmup_min_steps=args.warmup_min))
+        warmup_min_steps=args.warmup_min, multi_scale=args.multi_scale,
+        image_weights=args.image_weights, autoanchor=not args.noautoanchor))
     print(f"done: mAP50={result.get('map50', 0):.4f} "
           f"best_fitness={result.get('best_fitness', 0):.4f} "
           f"run={result.get('run_dir')}")

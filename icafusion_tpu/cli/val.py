@@ -30,6 +30,10 @@ def parse_args(argv=None):
     ap.add_argument("--kaist-ann", default=None,
                     help="KAIST annotation json: also compute the miss-rate suite")
     ap.add_argument("--confusion", action="store_true")
+    ap.add_argument("--single-cls", action="store_true",
+                    help="treat as single-class (test.py:157-158)")
+    ap.add_argument("--save-json", action="store_true",
+                    help="dump COCO-format detections json (test.py:185-194)")
     return ap.parse_args(argv)
 
 
@@ -54,12 +58,13 @@ def main(argv=None):
     loader = PairedLoader(ds, batch_size=args.batch_size, shuffle=False)
 
     ev = Evaluator(model=model, nc=data_cfg.nc, conf_thres=args.conf_thres,
-                   iou_thres=args.iou_thres)
+                   iou_thres=args.iou_thres, single_cls=args.single_cls)
     save_dir = Path(args.save_dir)
     mr_dir = str(save_dir / "labels") if (args.save_txt or args.kaist_ann) else None
     out = ev.run(variables, loader.val_batches(), args.img_size,
                  confusion=args.confusion, mr_txt_dir=mr_dir,
-                 names=list(data_cfg.names))
+                 names=list(data_cfg.names),
+                 coco_json=str(save_dir / "detections.json") if args.save_json else None)
 
     print(f"{'Class':>12} {'Images':>8} {'P':>8} {'R':>8} {'mAP50':>8} "
           f"{'mAP75':>8} {'mAP':>8}")

@@ -89,6 +89,7 @@ class Evaluator:
     iou_thres: float = 0.5               # NMS IoU (test.py:375-376)
     max_det: int = 300
     top_k: int = 8192                    # candidate pool at conf 0.001
+    single_cls: bool = False             # force class 0 (test.py:157-158)
 
     def __post_init__(self):
         model = self.model
@@ -100,6 +101,7 @@ class Evaluator:
             pred, _, _ = model.apply(variables, rgb, ir, train=False, decode=True)
             return non_max_suppression(pred, conf_thres=self.conf_thres,
                                        iou_thres=self.iou_thres, multi_label=True,
+                                       agnostic=self.single_cls,
                                        max_det=self.max_det, top_k=self.top_k)
 
         self._infer = _infer
@@ -131,6 +133,8 @@ class Evaluator:
                                   np.zeros(0), tcls))
                     continue
                 predn = pred.copy()
+                if self.single_cls:
+                    predn[:, 5] = 0  # test.py:157-158
                 predn[:, :4] = scale_coords_np((img_size, img_size), predn[:, :4],
                                                (h0, w0), ratio_pad)
                 if len(labels):

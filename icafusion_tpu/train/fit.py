@@ -63,6 +63,7 @@ class FitConfig:
     warmup_min_steps: int = 1000         # reference floor (train.py:264)
     autoanchor: bool = True              # check/evolve anchors (train.py:227-228)
     image_weights: bool = False          # class-aware resampling (train.py:267-278)
+    multi_scale: bool = False            # bucketed size jitter (train.py:325-331)
 
 
 def fit(cfg: FitConfig) -> dict:
@@ -152,15 +153,25 @@ def fit(cfg: FitConfig) -> dict:
     repl = NamedSharding(mesh, P())
     data_sh = NamedSharding(mesh, P("data"))
     state = jax.device_put(state, repl)
-    raw_step = trainer.make_train_step()
 
-    @jax.jit
-    def step_u8(st, rgb, ir, t, m):
-        return raw_step(st, rgb.astype(jnp.float32) / 255.0,
-                        ir.astype(jnp.float32) / 255.0, t, m)
+    def make_step(scale: float):
+        raw_step = trainer.make_train_step(scale=scale)
 
-    step = jax.jit(step_u8, in_shardings=(repl, data_sh, data_sh, data_sh, data_sh),
-                   out_shardings=(repl, repl), donate_argnums=(0,))
+        def step_u8(st, rgb, ir, t, m):
+            return raw_step(st, rgb.astype(jnp.float32) / 255.0,
+                            ir.astype(jnp.float32) / 255.0, t, m)
+
+        return jax.jit(step_u8,
+                       in_shardings=(repl, data_sh, data_sh, data_sh, data_sh),
+                       out_shardings=(repl, repl), donate_argnums=(0,))
+
+    # multi-scale: a small bucket of precompiled sizes replaces the reference's
+    # random per-batch size (train.py:325-331) — dynamic shapes don't exist
+    # under XLA, and each bucket costs one compile of the full step
+    scales = (0.75, 0.875, 1.0, 1.125, 1.25) if cfg.multi_scale else (1.0,)
+    steps = {s: make_step(s) for s in scales}
+    step = steps[1.0]
+    scale_rng = np.random.default_rng(cfg.seed + 1)
 
     evaluator = Evaluator(model=model, nc=cfg.data_cfg.nc)
 
@@ -174,17 +185,34 @@ def fit(cfg: FitConfig) -> dict:
         t0 = time.time()
         means = np.zeros(4)
         n = 0
-        for batch in loader.epoch(epoch):
-            state, metrics = step(
-                state, jax.device_put(batch["rgb"], data_sh),
-                jax.device_put(batch["ir"], data_sh),
-                jax.device_put(batch["targets"], data_sh),
-                jax.device_put(batch["mask"], data_sh))
+        def put(b):
+            # async H2D: dispatch uploads ahead so they stream while the previous
+            # step computes (device_put returns before the transfer completes)
+            return (jax.device_put(b["rgb"], data_sh),
+                    jax.device_put(b["ir"], data_sh),
+                    jax.device_put(b["targets"], data_sh),
+                    jax.device_put(b["mask"], data_sh))
+
+        assert loader.steps_per_epoch > 0, "dataset smaller than one batch"
+        it = iter(loader.epoch(epoch))
+        pending = None
+        for batch in it:
+            nxt = put(batch)
+            if pending is None:
+                pending = nxt
+                continue
+            cur, pending = pending, nxt
+            if cfg.multi_scale:
+                step = steps[scales[scale_rng.integers(len(scales))]]
+            state, metrics = step(state, *cur)
             n += 1
-            if n % 50 == 0 or n == loader.steps_per_epoch:
-                items = np.array([float(metrics["lbox"]), float(metrics["lobj"]),
-                                  float(metrics["lcls"]), float(metrics["loss"])])
-                means = items  # last-step snapshot (cheap; full means cost a sync/step)
+        if pending is not None:  # last prefetched batch
+            if cfg.multi_scale:
+                step = steps[scales[scale_rng.integers(len(scales))]]
+            state, metrics = step(state, *pending)
+            n += 1
+        means = np.array([float(metrics["lbox"]), float(metrics["lobj"]),
+                          float(metrics["lcls"]), float(metrics["loss"])])
         lr_now = float(metrics["lr"])
 
         ev = {"mp": 0, "mr": 0, "map50": 0, "map": 0}

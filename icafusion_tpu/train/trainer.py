@@ -88,15 +88,30 @@ class Trainer:
             rng=state_rng,
         )
 
-    def make_train_step(self) -> Callable:
+    def make_train_step(self, scale: float = 1.0) -> Callable:
         """Returns train_step(state, rgb, ir, targets, mask) -> (state, metrics).
 
         rgb/ir: (A*B, H, W, 3) float in [0,1]; targets (A*B, T, 5); mask (A*B, T)
-        where A = accum_steps. jit/pjit-able; donate state for in-place update."""
+        where A = accum_steps. jit/pjit-able; donate state for in-place update.
+
+        scale != 1.0 resizes the batch on device to round(H*scale/32)*32 before
+        the forward — the multi-scale training analog (reference train.py:325-331
+        picks a random size per batch; under XLA each size is its own compiled
+        step, so callers pick from a small bucket set)."""
         model, loss_fn, optimizer = self.model, self.loss_fn, self.optimizer
         A = self.accum_steps
 
+        def maybe_resize(x):
+            if scale == 1.0:
+                return x
+            b, h, w, c = x.shape
+            nh = max(round(h * scale / 32), 1) * 32
+            nw = max(round(w * scale / 32), 1) * 32
+            return jax.image.resize(x, (b, nh, nw, c), method="linear")
+
         def microbatch_loss(params, batch_stats, rgb, ir, targets, mask, drng):
+            rgb = maybe_resize(rgb)
+            ir = maybe_resize(ir)
             preds, mut = model.apply(
                 {"params": params, "batch_stats": batch_stats},
                 rgb, ir, train=True, decode=False,
