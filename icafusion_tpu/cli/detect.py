@@ -48,6 +48,8 @@ def parse_args(argv=None):
     ap.add_argument("--save-txt", action="store_true")
     ap.add_argument("--names", nargs="*", default=None)
     ap.add_argument("--nosave", action="store_true")
+    ap.add_argument("--augment", action="store_true",
+                    help="TTA multi-scale/flip ensemble")
     return ap.parse_args(argv)
 
 
@@ -76,7 +78,11 @@ def main(argv=None):
     def infer(v, rgb, ir):
         rgb = rgb.astype(jnp.float32) / 255.0
         ir = ir.astype(jnp.float32) / 255.0
-        pred, _, _ = model.apply(v, rgb, ir, train=False, decode=True)
+        if args.augment:
+            from icafusion_tpu.models.tta import tta_inference
+            pred = tta_inference(model, v, rgb, ir)
+        else:
+            pred, _, _ = model.apply(v, rgb, ir, train=False, decode=True)
         return non_max_suppression(pred, conf_thres=args.conf_thres,
                                    iou_thres=args.iou_thres, top_k=1024)
 

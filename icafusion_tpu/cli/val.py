@@ -32,6 +32,8 @@ def parse_args(argv=None):
     ap.add_argument("--confusion", action="store_true")
     ap.add_argument("--single-cls", action="store_true",
                     help="treat as single-class (test.py:157-158)")
+    ap.add_argument("--augment", action="store_true",
+                    help="TTA multi-scale/flip ensemble (test.py:128)")
     ap.add_argument("--save-json", action="store_true",
                     help="dump COCO-format detections json (test.py:185-194)")
     return ap.parse_args(argv)
@@ -58,7 +60,8 @@ def main(argv=None):
     loader = PairedLoader(ds, batch_size=args.batch_size, shuffle=False)
 
     ev = Evaluator(model=model, nc=data_cfg.nc, conf_thres=args.conf_thres,
-                   iou_thres=args.iou_thres, single_cls=args.single_cls)
+                   iou_thres=args.iou_thres, single_cls=args.single_cls,
+                   augment=args.augment)
     save_dir = Path(args.save_dir)
     mr_dir = str(save_dir / "labels") if (args.save_txt or args.kaist_ann) else None
     out = ev.run(variables, loader.val_batches(), args.img_size,

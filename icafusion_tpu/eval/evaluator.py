@@ -90,15 +90,21 @@ class Evaluator:
     max_det: int = 300
     top_k: int = 8192                    # candidate pool at conf 0.001
     single_cls: bool = False             # force class 0 (test.py:157-158)
+    augment: bool = False                # TTA ensemble (test.py:128 augment=)
 
     def __post_init__(self):
         model = self.model
+        use_tta = self.augment
 
         @jax.jit
         def _infer(variables, rgb, ir):
             rgb = rgb.astype(jnp.float32) / 255.0
             ir = ir.astype(jnp.float32) / 255.0
-            pred, _, _ = model.apply(variables, rgb, ir, train=False, decode=True)
+            if use_tta:
+                from icafusion_tpu.models.tta import tta_inference
+                pred = tta_inference(model, variables, rgb, ir)
+            else:
+                pred, _, _ = model.apply(variables, rgb, ir, train=False, decode=True)
             return non_max_suppression(pred, conf_thres=self.conf_thres,
                                        iou_thres=self.iou_thres, multi_label=True,
                                        agnostic=self.single_cls,

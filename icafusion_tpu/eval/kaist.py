@@ -254,3 +254,36 @@ def evaluate_kaist(ann_file: str, res_file: str, day_split: int = 1455) -> Kaist
         MR_medium=_log_avg_mr(q_medium), MR_far=_log_avg_mr(q_far),
         MR_none=_log_avg_mr(q_none), MR_partial=_log_avg_mr(q_partial),
         MR_heavy=_log_avg_mr(q_heavy), recall_all=recall_all)
+
+
+def main(argv=None):
+    """Standalone evaluation CLI (evaluation_script.py:681-697)."""
+    import argparse
+    ap = argparse.ArgumentParser("icafusion-kaist-eval")
+    ap.add_argument("--annFile", required=True, help="KAIST annotation json")
+    ap.add_argument("--rstFiles", nargs="+", required=True,
+                    help="result files (txt 'idx,x,y,w,h,score' or COCO json)")
+    ap.add_argument("--evalFig", default=None, help="MR-FPPI curve output path")
+    args = ap.parse_args(argv)
+    results = []
+    for rst in args.rstFiles:
+        r = evaluate_kaist(args.annFile, rst)
+        results.append((rst, r))
+        print(f"\n########## {rst} ##########")
+        for k, val in r.as_dict().items():
+            print(f"{k}: {val * 100:.2f}")
+    if args.evalFig:
+        img_ids, gts = load_kaist_gt(args.annFile)
+        from icafusion_tpu.utils.plots import plot_mr_fppi
+        rst, r = results[0]
+        dts = load_detections(rst)
+        per_img = [_evaluate_img(gts.get(i, []), dts.get(i, np.zeros((0, 5))), 0)
+                   for i in img_ids]
+        _, fppi, mr = _accumulate(per_img, len(img_ids))
+        plot_mr_fppi(fppi, mr, args.evalFig, label=Path(rst).stem)
+        print(f"figure: {args.evalFig}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -85,7 +85,10 @@ class Detect(nn.Module):
         raw, z, logits = [], [], []
         for i, x in enumerate(xs):
             b, ny, nx, _ = x.shape
+            from icafusion_tpu.nn.layers import TORCH_CONV_INIT, torch_bias_init
             t = nn.Conv(self.no * self.na, kernel_size=(1, 1), use_bias=True,
+                        kernel_init=TORCH_CONV_INIT,
+                        bias_init=torch_bias_init(self.ch[i]),
                         dtype=self.dtype, name=f"m{i}")(x)
             t = t.reshape(b, ny, nx, self.na, self.no)
             raw.append(t)

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from icafusion_tpu.nn.layers import BN_EPS, BN_MOMENTUM
+from icafusion_tpu.nn.layers import BN_EPS, BN_MOMENTUM, TORCH_CONV_INIT, torch_bias_init
 
 Dtype = Any
 
@@ -32,7 +32,9 @@ class VGGblock(nn.Module):
     def __call__(self, x, train: bool = False):
         for i in range(self.num_convs):
             x = nn.Conv(self.c2, kernel_size=(3, 3), padding=[(1, 1), (1, 1)],
-                        use_bias=True, dtype=self.dtype, name=f"conv{i}")(x)
+                        use_bias=True, kernel_init=TORCH_CONV_INIT,
+                        bias_init=torch_bias_init((self.c1 if i == 0 else self.c2) * 9),
+                        dtype=self.dtype, name=f"conv{i}")(x)
             x = jax.nn.relu(x)
         return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
 
@@ -52,20 +54,20 @@ class ResNetblock(nn.Module):
                                 epsilon=BN_EPS, dtype=self.dtype, name=name)
 
         out = nn.Conv(self.c2, kernel_size=(1, 1), use_bias=False,
-                      dtype=self.dtype, name="conv1")(x)
+                      kernel_init=TORCH_CONV_INIT, dtype=self.dtype, name="conv1")(x)
         out = jax.nn.relu(bn("bn1")(out))
         out = nn.Conv(self.c2, kernel_size=(3, 3), strides=(self.stride, self.stride),
                       padding=[(1, 1), (1, 1)], use_bias=False,
-                      dtype=self.dtype, name="conv2")(out)
+                      kernel_init=TORCH_CONV_INIT, dtype=self.dtype, name="conv2")(out)
         out = jax.nn.relu(bn("bn2")(out))
         out = nn.Conv(self.expansion * self.c2, kernel_size=(1, 1), use_bias=False,
-                      dtype=self.dtype, name="conv3")(out)
+                      kernel_init=TORCH_CONV_INIT, dtype=self.dtype, name="conv3")(out)
         out = bn("bn3")(out)
 
         if self.stride != 1 or self.c1 != self.expansion * self.c2:
             sc = nn.Conv(self.expansion * self.c2, kernel_size=(1, 1),
                          strides=(self.stride, self.stride), use_bias=False,
-                         dtype=self.dtype, name="shortcut_conv")(x)
+                         kernel_init=TORCH_CONV_INIT, dtype=self.dtype, name="shortcut_conv")(x)
             sc = bn("shortcut_bn")(sc)
         else:
             sc = x
@@ -89,7 +91,7 @@ class ResNetlayer(nn.Module):
         if self.is_first:
             x = nn.Conv(self.c2, kernel_size=(7, 7), strides=(2, 2),
                         padding=[(3, 3), (3, 3)], use_bias=False,
-                        dtype=self.dtype, name="stem_conv")(x)
+                        kernel_init=TORCH_CONV_INIT, dtype=self.dtype, name="stem_conv")(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                              epsilon=BN_EPS, dtype=self.dtype, name="stem_bn")(x)
             x = jax.nn.relu(x)

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from icafusion_tpu.nn.layers import Conv
+from icafusion_tpu.nn.layers import Conv, TORCH_CONV_INIT
 
 Dtype = Any
 
@@ -75,7 +75,7 @@ class NiNfusion(nn.Module):
         p = self.k // 2
         y = nn.Conv(self.c2, kernel_size=(self.k, self.k), strides=(self.s, self.s),
                     padding=[(p, p), (p, p)], use_bias=False,
-                    dtype=self.dtype, name="conv")(y)
+                    kernel_init=TORCH_CONV_INIT, dtype=self.dtype, name="conv")(y)
         return jax.nn.silu(y)
 
 
@@ -235,9 +235,11 @@ class CrossTransformerBlock(nn.Module):
         def mlp(name):
             def f(x):
                 y = nn.Dense(self.block_exp * self.d_model, dtype=self.dtype,
+                             kernel_init=TORCH_CONV_INIT,
                              name=f"{name}_fc1")(x)
                 y = jax.nn.gelu(y, approximate=False)
-                y = nn.Dense(self.d_model, dtype=self.dtype, name=f"{name}_fc2")(y)
+                y = nn.Dense(self.d_model, dtype=self.dtype,
+                             kernel_init=TORCH_CONV_INIT, name=f"{name}_fc2")(y)
                 return nn.Dropout(self.resid_pdrop, deterministic=not train)(y)
             return f
 

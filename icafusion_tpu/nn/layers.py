@@ -27,6 +27,20 @@ Dtype = Any
 BN_MOMENTUM = 0.97
 BN_EPS = 1e-3
 
+# torch Conv2d/Linear default init: kaiming_uniform(a=sqrt(5)) == uniform with
+# var = 1/(3*fan_in). The reference never re-initializes conv weights
+# (initialize_weights only touches BN/activations — torch_utils.py:46-56), so
+# matching torch's default matters for from-scratch training parity.
+TORCH_CONV_INIT = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def torch_bias_init(fan_in: int):
+    """torch's U(-1/sqrt(fan_in), 1/sqrt(fan_in)) bias init."""
+    def init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / math.sqrt(max(fan_in, 1))
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
 
 def autopad(k, p=None):
     """Pad to 'same' for odd kernels; matches reference models/common.py:36-40."""
@@ -73,6 +87,7 @@ class Conv(nn.Module):
         x = nn.Conv(self.c2, kernel_size=k, strides=s,
                     padding=[(p[0], p[0]), (p[1], p[1])],
                     feature_group_count=self.g, use_bias=False,
+                    kernel_init=TORCH_CONV_INIT,
                     dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          epsilon=BN_EPS, dtype=self.dtype, name="bn")(x)
@@ -118,8 +133,8 @@ class BottleneckCSP(nn.Module):
         for i in range(self.n):
             y1 = Bottleneck(c_, c_, self.shortcut, self.g, e=1.0,
                             dtype=self.dtype, name=f"m{i}")(y1, train)
-        y1 = nn.Conv(c_, kernel_size=(1, 1), use_bias=False, dtype=self.dtype, name="cv3")(y1)
-        y2 = nn.Conv(c_, kernel_size=(1, 1), use_bias=False, dtype=self.dtype, name="cv2")(x)
+        y1 = nn.Conv(c_, kernel_size=(1, 1), use_bias=False, kernel_init=TORCH_CONV_INIT, dtype=self.dtype, name="cv3")(y1)
+        y2 = nn.Conv(c_, kernel_size=(1, 1), use_bias=False, kernel_init=TORCH_CONV_INIT, dtype=self.dtype, name="cv2")(x)
         y = jnp.concatenate([y1, y2], axis=-1)
         y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          epsilon=BN_EPS, dtype=self.dtype, name="bn")(y)

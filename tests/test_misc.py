@@ -1,0 +1,85 @@
+"""Tests for hyp evolution, dataset tools, paired video streams, loggers."""
+
+import numpy as np
+import pytest
+
+from icafusion_tpu.config import load_hyp_config
+
+
+def test_mutate_respects_bounds():
+    from icafusion_tpu.train.evolve import META, mutate
+    hyp = load_hyp_config()
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        m = mutate(hyp, rng)
+        for k, (_, lo, hi) in META.items():
+            v = getattr(m, k)
+            assert lo <= v <= hi, f"{k}={v} outside [{lo},{hi}]"
+
+
+def test_evolve_improves_over_log(tmp_path):
+    from icafusion_tpu.train.evolve import evolve
+    hyp = load_hyp_config()
+
+    # toy fitness: peak at lr0=0.03, mosaic=0.5
+    def train_fn(h):
+        return -((h.lr0 - 0.03) ** 2) * 100 - (h.mosaic - 0.5) ** 2
+
+    best = evolve(train_fn, hyp, generations=25,
+                  log_path=str(tmp_path / "evolve.csv"), seed=0)
+    base_fit = train_fn(hyp)
+    assert train_fn(best) >= base_fit
+    assert (tmp_path / "evolve.csv").exists()
+
+
+def test_autosplit_and_flatten(tmp_path):
+    import cv2
+    from icafusion_tpu.data.tools import autosplit, extract_boxes, flatten_recursive
+    d = tmp_path / "visible" / "train"
+    (tmp_path / "labels" / "train").mkdir(parents=True)
+    d.mkdir(parents=True)
+    for i in range(10):
+        img = np.full((64, 64, 3), 100, np.uint8)
+        cv2.rectangle(img, (10, 10), (40, 40), (250, 30, 30), -1)
+        cv2.imwrite(str(d / f"i{i}.jpg"), img)
+        (tmp_path / "labels" / "train" / f"i{i}.txt").write_text(
+            "1 0.4 0.4 0.5 0.5\n")
+    autosplit(str(d), weights=(0.8, 0.2, 0.0))
+    train_list = (d.parent / "autosplit_train.txt").read_text().splitlines()
+    val_list = (d.parent / "autosplit_val.txt").read_text().splitlines()
+    assert len(train_list) + len(val_list) == 10
+
+    n = extract_boxes(str(d), out_dir=str(tmp_path / "cls"))
+    assert n == 10
+    assert len(list((tmp_path / "cls" / "1").glob("*.jpg"))) == 10
+
+    out = flatten_recursive(str(tmp_path / "visible"))
+    assert len(list(out.glob("*.jpg"))) == 10
+
+
+def test_paired_video_stream(tmp_path):
+    import cv2
+    from icafusion_tpu.data.streams import LoadPairedVideos
+    paths = []
+    for name in ("a.mp4", "b.mp4"):
+        p = str(tmp_path / name)
+        w = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"), 10, (128, 96))
+        for i in range(5):
+            w.write(np.full((96, 128, 3), i * 40, np.uint8))
+        w.release()
+        paths.append(p)
+    src = LoadPairedVideos(paths[0], paths[1], img_size=128)
+    frames = list(src)
+    src.release()
+    assert len(frames) == 5
+    rgb_lb, ir_lb, rgb0, ir0 = frames[0]
+    assert rgb_lb.shape == (128, 128, 3)
+    assert rgb0.shape == (96, 128, 3)
+
+
+def test_loggers_noop(tmp_path):
+    from icafusion_tpu.utils.loggers import Loggers
+    lg = Loggers(tmp_path, enable_tb=True)  # TB backends absent -> no-op
+    lg.log_scalars({"loss": 1.0}, step=0)
+    lg.log_image("img", np.zeros((8, 8, 3), np.uint8), step=0)
+    lg.close()
