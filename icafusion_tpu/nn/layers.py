@@ -33,6 +33,11 @@ BN_EPS = 1e-3
 # matching torch's default matters for from-scratch training parity.
 TORCH_CONV_INIT = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
 
+# Opt-in space-to-depth stem rewrite (see Conv). Measured on TPU v5e: XLA's own
+# handling of the 3-channel stem is already good — the rewrite was ~7% SLOWER
+# end-to-end (72.6 vs 67.3 ms/b32 on the flagship), so it stays off by default.
+STEM_S2D_ENABLED = False
+
 
 def torch_bias_init(fan_in: int):
     """torch's U(-1/sqrt(fan_in), 1/sqrt(fan_in)) bias init."""
@@ -68,8 +73,23 @@ def _act_fn(act) -> Callable:
     raise ValueError(f"unsupported activation spec: {act!r}")
 
 
+class _Kernel(nn.Module):
+    """Bare conv-kernel holder with nn.Conv-compatible naming (<name>/kernel)."""
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", TORCH_CONV_INIT, self.shape, jnp.float32)
+
+
 class Conv(nn.Module):
-    """Conv2d(bias=False) + BatchNorm + SiLU (reference models/common.py:48-60)."""
+    """Conv2d(bias=False) + BatchNorm + SiLU (reference models/common.py:48-60).
+
+    TPU stem optimization: the two towers' first layer (3->C, k6, s2, p2) runs at
+    3/128 lane utilization on the MXU. It is re-expressed exactly as
+    space-to-depth(2) + a 3x3/s1 conv over 12 channels with the SAME (6,6,3,C)
+    parameter (rearranged at trace time) — ~4x better stem utilization, identical
+    math and checkpoint layout."""
     c1: int
     c2: int
     k: Union[int, Tuple[int, int]] = 1
@@ -84,14 +104,33 @@ class Conv(nn.Module):
         k = _pair(self.k)
         s = _pair(self.s)
         p = _pair(autopad(self.k, self.p))
-        x = nn.Conv(self.c2, kernel_size=k, strides=s,
-                    padding=[(p[0], p[0]), (p[1], p[1])],
-                    feature_group_count=self.g, use_bias=False,
-                    kernel_init=TORCH_CONV_INIT,
-                    dtype=self.dtype, name="conv")(x)
+        if (STEM_S2D_ENABLED
+                and self.c1 == 3 and k == (6, 6) and s == (2, 2) and p == (2, 2)
+                and self.g == 1 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+            x = self._stem_s2d(x)
+        else:
+            x = nn.Conv(self.c2, kernel_size=k, strides=s,
+                        padding=[(p[0], p[0]), (p[1], p[1])],
+                        feature_group_count=self.g, use_bias=False,
+                        kernel_init=TORCH_CONV_INIT,
+                        dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          epsilon=BN_EPS, dtype=self.dtype, name="bn")(x)
         return _act_fn(self.act)(x)
+
+    def _stem_s2d(self, x):
+        w = _Kernel((6, 6, 3, self.c2), name="conv")().astype(self.dtype)
+        # w[i,j,c,o] with i=2a+py, j=2b+px  ->  w2[a,b,(py*2+px)*3+c, o]
+        w2 = w.reshape(3, 2, 3, 2, 3, self.c2)          # (a, py, b, px, c, o)
+        w2 = w2.transpose(0, 2, 1, 3, 4, 5).reshape(3, 3, 12, self.c2)
+        xp = jnp.pad(x.astype(self.dtype), ((0, 0), (2, 2), (2, 2), (0, 0)))
+        b, hp, wp, _ = xp.shape
+        x2 = xp.reshape(b, hp // 2, 2, wp // 2, 2, 3)
+        x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp // 2, wp // 2, 12)
+        dn = jax.lax.conv_dimension_numbers(x2.shape, w2.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        return jax.lax.conv_general_dilated(x2, w2, (1, 1), "VALID",
+                                            dimension_numbers=dn)
 
 
 def DWConv(c1, c2, k=1, s=1, act=True, dtype=jnp.float32):
