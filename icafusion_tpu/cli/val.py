@@ -10,8 +10,7 @@ import argparse
 import json
 from pathlib import Path
 
-from icafusion_tpu.cli._common import (load_model_for_inference,
-                                       resolve_model_config, setup_jax)
+from icafusion_tpu.cli._common import load_model_for_inference, setup_jax
 
 
 def parse_args(argv=None):

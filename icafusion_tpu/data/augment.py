@@ -18,7 +18,7 @@ drop). Images are HWC RGB uint8 throughout.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+
 
 import cv2
 import numpy as np

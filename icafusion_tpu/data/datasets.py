@@ -38,8 +38,7 @@ import numpy as np
 
 from icafusion_tpu.config import HypConfig
 from icafusion_tpu.data.augment import (augment_hsv, letterbox, mosaic_pair,
-                                        random_perspective_pair, xywhn2xyxy,
-                                        xyxy2xywhn)
+                                        xywhn2xyxy, xyxy2xywhn)
 
 IMG_FORMATS = {"bmp", "jpg", "jpeg", "png", "tif", "tiff", "dng", "webp", "mpo"}
 

@@ -23,13 +23,13 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from icafusion_tpu.config import FromSpec, LayerDef, ModelConfig
+from icafusion_tpu.config import FromSpec, ModelConfig
 from icafusion_tpu.models.detect import Detect
 from icafusion_tpu.nn import backbones, fusion, layers
 from icafusion_tpu.utils.general import make_divisible

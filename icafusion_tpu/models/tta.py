@@ -11,7 +11,7 @@ Scaled inputs are padded with 0.447 (ImageNet-mean gray), like the reference.
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ in fp32. A fused Pallas kernel (kernels/cross_attention.py) can replace the eins
 from __future__ import annotations
 
 import math
-from typing import Any, Optional, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ slices over DCN; rank-0-only side effects map to jax.process_index() == 0.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

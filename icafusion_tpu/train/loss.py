@@ -28,7 +28,7 @@ image coordinates plus a (B, T) validity mask — no dynamic shapes anywhere.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -19,14 +19,14 @@ Key semantic mappings:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, NamedTuple, Optional, Tuple
+from typing import Any, Callable, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from icafusion_tpu.config import HypConfig, ModelConfig
+from icafusion_tpu.config import HypConfig
 from icafusion_tpu.models.assembler import ICAFusionModel, anchors_grid_units, model_strides
 from icafusion_tpu.train.ema import EmaState, ema_init, ema_update
 from icafusion_tpu.train.loss import YoloLoss

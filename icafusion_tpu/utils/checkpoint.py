@@ -12,7 +12,6 @@ strip_optimizer (general.py:610-623), redesigned:
 
 from __future__ import annotations
 
-import json
 import os
 from pathlib import Path
 from typing import Any, Dict, Optional

@@ -11,7 +11,7 @@ no-op interface for deployments to implement (no vendored wandb)."""
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, Optional
+from typing import Dict
 
 
 class Loggers:

@@ -18,7 +18,7 @@ Checkpoint loading prefers the EMA weights when present, like attempt_load
 from __future__ import annotations
 
 import re
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 
