@@ -40,7 +40,12 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--train", action="store_true",
+                    help="benchmark the training step instead of serving")
     args = ap.parse_args()
+
+    if args.train:
+        return bench_train(args)
 
     from icafusion_tpu.models import build_model
     from icafusion_tpu.models.zoo import icafusion_config
@@ -99,6 +104,56 @@ def main():
         "value": round(fps, 1),
         "unit": "paired_frames/sec/chip",
         "vs_baseline": round(fps / A100_FP16_PAIRED_FPS_EST, 2),
+    }))
+
+
+def bench_train(args):
+    """Full training step (fwd+bwd+loss+SGD+EMA) throughput with device-resident
+    inputs — isolates model/step performance from this environment's slow
+    host->device tunnel (~30-50 MB/s, see CLAUDE.md)."""
+    import numpy as np
+
+    from icafusion_tpu.config import load_hyp_config
+    from icafusion_tpu.models import build_model
+    from icafusion_tpu.models.zoo import icafusion_config
+    from icafusion_tpu.train.loss import pad_targets
+    from icafusion_tpu.train.trainer import Trainer
+
+    B = min(args.batch, 16)
+    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+    cfg = icafusion_config(args.scale, nc=3, fusion="tfb")
+    model = build_model(cfg, dtype=dtype)
+    hyp = load_hyp_config()
+    tr = Trainer(model=model, hyp=hyp, epochs=60, steps_per_epoch=100,
+                 batch_size=B, imgsz=args.imgsz)
+    rng = jax.random.PRNGKey(0)
+    rgb = jax.random.uniform(rng, (B, args.imgsz, args.imgsz, 3))
+    ir = jax.random.uniform(jax.random.PRNGKey(1), rgb.shape)
+    t, m = pad_targets([np.array([[0, 0.5, 0.5, 0.3, 0.3]], np.float32)] * B, 64)
+    t, m = jnp.asarray(t), jnp.asarray(m)
+    state = tr.init_state(rng, rgb[:1], ir[:1])
+    step = jax.jit(tr.make_train_step(), donate_argnums=(0,))
+
+    t0 = time.time()
+    state, met = step(state, rgb, ir, t, m)
+    lv = float(met["loss"])
+    print(f"compile+first {time.time()-t0:.0f}s", file=sys.stderr)
+    for series in range(2):
+        t0 = time.time()
+        for _ in range(args.iters):
+            state, met = step(state, rgb, ir, t, m)
+        lv = float(met["loss"])
+        dt = (time.time() - t0) / args.iters
+        print(f"series {series}: {dt*1e3:.0f} ms/step (loss {lv:.3f})",
+              file=sys.stderr)
+    ips = B / dt
+    print(json.dumps({
+        "metric": f"icafusion_{args.scale} paired {args.imgsz} training step "
+                  f"(fwd+bwd+loss+SGD+EMA, {'fp32' if args.fp32 else 'bf16'}, "
+                  f"batch {B}, device-resident inputs)",
+        "value": round(ips, 1),
+        "unit": "paired_images/sec/chip",
+        "vs_baseline": round(ips / 30.0, 2),   # ~30 img/s A100 train est. (bs8)
     }))
 
 
