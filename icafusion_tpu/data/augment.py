@@ -192,3 +192,14 @@ def mosaic_pair(load_fn, index, all_indices, img_size: int,
         degrees=hyp.degrees, translate=hyp.translate, scale=hyp.scale,
         shear=hyp.shear, perspective=hyp.perspective, border=border)
     return img4_rgb, img4_ir, targets
+
+
+def hist_equalize(img, clahe: bool = True):
+    """Histogram-equalize the luma channel (datasets.py:1143-1151). img: HWC RGB u8."""
+    yuv = cv2.cvtColor(img, cv2.COLOR_RGB2YUV)
+    if clahe:
+        c = cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8, 8))
+        yuv[:, :, 0] = c.apply(yuv[:, :, 0])
+    else:
+        yuv[:, :, 0] = cv2.equalizeHist(yuv[:, :, 0])
+    return cv2.cvtColor(yuv, cv2.COLOR_YUV2RGB)

@@ -153,3 +153,20 @@ def detections_to_numpy(dets: Detections):
         out.append(np.concatenate([boxes[i][m], scores[i][m][:, None],
                                    classes[i][m][:, None].astype(np.float32)], axis=1))
     return out
+
+
+def detections_to_records(dets: Detections, names=None):
+    """Pandas-style records per image (Detections.pandas() analog,
+    common.py:534-543): list (per image) of dicts with xmin/ymin/xmax/ymax/
+    confidence/class/name."""
+    out = []
+    for arr in detections_to_numpy(dets):
+        recs = []
+        for x1, y1, x2, y2, conf, cls in arr:
+            recs.append({"xmin": float(x1), "ymin": float(y1),
+                         "xmax": float(x2), "ymax": float(y2),
+                         "confidence": float(conf), "class": int(cls),
+                         "name": (names[int(cls)] if names and int(cls) < len(names)
+                                  else str(int(cls)))})
+        out.append(recs)
+    return out

@@ -65,6 +65,16 @@ def focal_bce_with_logits(logits, targets, gamma: float, pos_weight: float = 1.0
     return loss * alpha_factor * (1.0 - p_t) ** gamma
 
 
+def qfocal_bce_with_logits(logits, targets, gamma: float,
+                           pos_weight: float = 1.0, alpha: float = 0.25):
+    """Quality focal loss variant (reference loss.py:67-90) — dormant alternative."""
+    loss = bce_with_logits(logits, targets, pos_weight)
+    pred_prob = jax.nn.sigmoid(logits)
+    alpha_factor = targets * alpha + (1 - targets) * (1 - alpha)
+    modulating = jnp.abs(targets - pred_prob) ** gamma
+    return loss * alpha_factor * modulating
+
+
 @dataclasses.dataclass
 class YoloLoss:
     """Callable loss. anchors: (nl, na, 2) in *grid units* (pixel/stride —

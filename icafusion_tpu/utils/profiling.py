@@ -73,6 +73,48 @@ def profile_op(fn, *args, iters: int = 10) -> float:
     return (time.time() - t0) / iters * 1e3
 
 
+def profile_layers(model, variables, rgb, ir, iters: int = 5, verbose: bool = True):
+    """Per-layer timing table — the forward_once(profile=True) analog
+    (yolo_test.py:144-152). Captures every layer's real input from one forward
+    pass, then times each layer's module in isolation (each is jitted separately;
+    under the real jit the graph is fused, so these are relative numbers, like
+    the reference's x10 loop). Returns a list of dicts."""
+    from icafusion_tpu.models.assembler import MODULE_BUILDERS, resolve_model
+
+    resolved, save = resolve_model(model.cfg)
+    n = len(resolved)
+    out, caps = model.apply(variables, rgb, ir, train=False, decode=False,
+                            capture=tuple(range(n)))
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    rows = []
+    for r in resolved[:-1]:  # Detect handled by the full decode path
+        if r.f == -4:
+            inp = ir
+        elif r.f == -1:
+            inp = caps[r.i - 1] if r.i > 0 else rgb
+        elif isinstance(r.f, int):
+            inp = caps[r.f]
+        else:
+            inp = [caps[j] if j >= 0 else caps[r.i - 1] for j in r.f]
+        key = f"m{r.i}"
+        sub = {"params": params.get(key, {}), "batch_stats": stats.get(key, {})}
+        mod = MODULE_BUILDERS[r.module](r.args, model.dtype, "m")
+
+        def fwd(v, x):
+            return mod.apply(v, x, train=False)
+
+        n_params = count_params(sub["params"])
+        try:
+            ms = profile_op(fwd, sub, inp, iters=iters)
+        except Exception as e:  # modules returning tuples etc.
+            ms = float("nan")
+        rows.append({"i": r.i, "module": r.module, "ms": ms, "params": n_params})
+        if verbose:
+            print(f"{r.i:3d} {r.module:28s} {ms:8.2f} ms {n_params / 1e3:10.1f}k")
+    return rows
+
+
 def start_trace(logdir: str):
     """Full device trace (jax.profiler) viewable in TensorBoard/Perfetto."""
     jax.profiler.start_trace(logdir)

@@ -83,3 +83,25 @@ def test_loggers_noop(tmp_path):
     lg.log_scalars({"loss": 1.0}, step=0)
     lg.log_image("img", np.zeros((8, 8, 3), np.uint8), step=0)
     lg.close()
+
+
+def test_detection_records_and_hist_equalize_and_qfocal():
+    import jax.numpy as jnp
+
+    from icafusion_tpu.data.augment import hist_equalize
+    from icafusion_tpu.ops.nms import Detections, detections_to_records
+    from icafusion_tpu.train.loss import qfocal_bce_with_logits
+
+    d = Detections(boxes=jnp.asarray([[[1.0, 2, 3, 4]]]),
+                   scores=jnp.asarray([[0.9]]),
+                   classes=jnp.asarray([[1]]),
+                   valid=jnp.asarray([[True]]))
+    recs = detections_to_records(d, names=["a", "b"])
+    assert recs[0][0]["name"] == "b" and recs[0][0]["confidence"] == 0.9
+
+    img = (np.linspace(0, 255, 64 * 64 * 3).reshape(64, 64, 3)).astype(np.uint8)
+    eq = hist_equalize(img)
+    assert eq.shape == img.shape and eq.dtype == np.uint8
+
+    l = qfocal_bce_with_logits(jnp.zeros((4, 3)), jnp.ones((4, 3)), gamma=1.5)
+    assert np.isfinite(np.asarray(l)).all()
