@@ -97,7 +97,8 @@ def test_detection_records_and_hist_equalize_and_qfocal():
                    classes=jnp.asarray([[1]]),
                    valid=jnp.asarray([[True]]))
     recs = detections_to_records(d, names=["a", "b"])
-    assert recs[0][0]["name"] == "b" and recs[0][0]["confidence"] == 0.9
+    assert recs[0][0]["name"] == "b"
+    assert recs[0][0]["confidence"] == pytest.approx(0.9)  # fp32 round trip
 
     img = (np.linspace(0, 255, 64 * 64 * 3).reshape(64, 64, 3)).astype(np.uint8)
     eq = hist_equalize(img)
