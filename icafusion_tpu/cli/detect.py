@@ -53,6 +53,67 @@ def parse_args(argv=None):
     return ap.parse_args(argv)
 
 
+VIDEO_FORMATS = (".mp4", ".avi", ".mov", ".mkv", ".m4v", ".webm")
+
+
+def detect_videos(args, model, variables, names):
+    """Paired-video inference (reference detect_twostream video branch via
+    LoadImages, datasets.py:212-239): per-frame two-stream inference, annotated
+    output video, FPS report."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+    import time as _time
+
+    from icafusion_tpu.data.streams import LoadPairedVideos
+    from icafusion_tpu.eval.evaluator import scale_coords_np
+    from icafusion_tpu.ops.nms import detections_to_numpy, non_max_suppression
+
+    S = args.img_size
+    save_dir = Path(args.save_dir)
+    save_dir.mkdir(parents=True, exist_ok=True)
+
+    @jax.jit
+    def infer(v, rgb, ir):
+        rgb = rgb.astype(jnp.float32) / 255.0
+        ir = ir.astype(jnp.float32) / 255.0
+        pred, _, _ = model.apply(v, rgb, ir, train=False, decode=True)
+        return non_max_suppression(pred, conf_thres=args.conf_thres,
+                                   iou_thres=args.iou_thres, top_k=1024)
+
+    src = LoadPairedVideos(args.source1, args.source2, img_size=S)
+    writer = None
+    n, t_total = 0, 0.0
+    for rgb_l, ir_l, im0, _ in src:
+        t0 = _time.time()
+        dets = infer(variables, jnp.asarray(rgb_l[None]), jnp.asarray(ir_l[None]))
+        pred = detections_to_numpy(dets)[0]
+        dt = _time.time() - t0
+        if n > 0:
+            t_total += dt
+        h0, w0 = im0.shape[:2]
+        if len(pred):
+            pred[:, :4] = scale_coords_np((S, S), pred[:, :4], (h0, w0))
+        frame = im0[:, :, ::-1].copy()  # RGB -> BGR for cv2
+        for x1, y1, x2, y2, conf, cls in pred:
+            plot_one_box(frame, (x1, y1, x2, y2),
+                         f"{names[int(cls)]} {conf:.2f}",
+                         COLORS[int(cls) % len(COLORS)])
+        if writer is None and not args.nosave:
+            out_path = str(save_dir / (Path(args.source1).stem + "_det.mp4"))
+            writer = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                                     25, (w0, h0))
+        if writer is not None:
+            writer.write(frame)
+        n += 1
+    src.release()
+    if writer is not None:
+        writer.release()
+        print(f"video saved to {save_dir}")
+    if n > 1:
+        print(f"average: {(n - 1) / t_total:.1f} paired FPS")
+
+
 def main(argv=None):
     args = parse_args(argv)
     setup_jax()
@@ -66,6 +127,10 @@ def main(argv=None):
     from icafusion_tpu.ops.nms import detections_to_numpy, non_max_suppression
 
     mc, model, variables = load_model_for_inference(args.cfg, args.weights)
+
+    if str(args.source1).lower().endswith(VIDEO_FORMATS):
+        names = args.names or [str(i) for i in range(mc.nc)]
+        return detect_videos(args, model, variables, names)
     names = args.names or [str(i) for i in range(mc.nc)]
     files1 = discover_images(args.source1)
     files2 = discover_images(args.source2)

@@ -144,3 +144,41 @@ def test_loader_batches(synth_root):
     assert vb["count"] == 4
     (h0, w0), (ratio, pad) = vb["shapes"][0]
     assert h0 in (480, 512, 640)
+
+
+def test_dataset_error_messages(synth_root, tmp_path):
+    """Clear errors for the common misconfigurations (reference-style asserts)."""
+    # mismatched pair counts
+    import shutil
+    solo = tmp_path / "solo"
+    (solo / "visible").mkdir(parents=True)
+    (solo / "infrared").mkdir(parents=True)
+    for i in range(3):
+        shutil.copy(next((synth_root / "visible" / "train").glob("*.jpg")),
+                    solo / "visible" / f"v{i}.jpg")
+    shutil.copy(next((synth_root / "infrared" / "train").glob("*.jpg")),
+                solo / "infrared" / "v0.jpg")
+    with pytest.raises(AssertionError, match="paired counts differ"):
+        PairedDetectionDataset(str(solo / "visible"), str(solo / "infrared"),
+                               img_size=64)
+    # empty source dir
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError, match="no images found"):
+        PairedDetectionDataset(str(empty), str(empty), img_size=64)
+
+
+def test_label_validation(tmp_path):
+    bad = tmp_path / "bad.txt"
+    bad.write_text("0 0.5 0.5 0.5\n")  # 4 columns
+    with pytest.raises(AssertionError, match="5 columns"):
+        parse_label_file(str(bad))
+    bad.write_text("0 1.5 0.5 0.5 0.5\n")  # out of bounds
+    with pytest.raises(AssertionError, match="normalized"):
+        parse_label_file(str(bad))
+    bad.write_text("5 0.5 0.5 0.5 0.5\n")  # class >= nc
+    with pytest.raises(AssertionError, match="exceeds nc"):
+        parse_label_file(str(bad), nc=3)
+    # duplicate rows removed
+    bad.write_text("0 0.5 0.5 0.5 0.5\n0 0.5 0.5 0.5 0.5\n")
+    assert len(parse_label_file(str(bad))) == 1
