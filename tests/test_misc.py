@@ -106,3 +106,20 @@ def test_detection_records_and_hist_equalize_and_qfocal():
 
     l = qfocal_bce_with_logits(jnp.zeros((4, 3)), jnp.ones((4, 3)), gamma=1.5)
     assert np.isfinite(np.asarray(l)).all()
+
+
+@pytest.mark.slow
+def test_hub_factory():
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    import hub
+    assert "icafusion_l" in hub.list_models()
+    model, variables = hub.create("icafusion_tiny", nc=3, img_size=64)
+    import jax
+    import jax.numpy as jnp
+    x = jnp.zeros((1, 64, 64, 3))
+    pred, logits, raw = jax.jit(
+        model.apply, static_argnames=("train", "decode"))(
+        variables, x, x, train=False, decode=True)
+    assert pred.shape[-1] == 8
