@@ -164,12 +164,14 @@ def main(argv=None):
             im0 = cv2.imread(files1[i])
             im1 = cv2.imread(files2[i])
             origs.append((im0, im1))
-            rgb_l, _, _ = letterbox(cv2.cvtColor(im0, cv2.COLOR_BGR2RGB), S,
-                                    scaleup=False)
+            rgb_l, ratio, pad = letterbox(cv2.cvtColor(im0, cv2.COLOR_BGR2RGB), S,
+                                          scaleup=False)
             ir_l, _, _ = letterbox(cv2.cvtColor(im1, cv2.COLOR_BGR2RGB), S,
                                    scaleup=False)
             rgb_b[slot], ir_b[slot] = rgb_l, ir_l
-            shapes.append(im0.shape[:2])
+            # keep the actual letterbox ratio/pad: scaleup=False clamps r<=1,
+            # which scale_coords_np can't re-derive for small source images
+            shapes.append((im0.shape[:2], (ratio, pad)))
         t0 = time.time()
         dets = infer(variables, jnp.asarray(rgb_b), jnp.asarray(ir_b))
         det_list = detections_to_numpy(dets)
@@ -181,9 +183,10 @@ def main(argv=None):
             i = idx[slot]
             pred = det_list[slot]
             im0, im1 = origs[slot]
-            h0, w0 = shapes[slot]
+            (h0, w0), ratio_pad = shapes[slot]
             if len(pred):
-                pred[:, :4] = scale_coords_np((S, S), pred[:, :4], (h0, w0))
+                pred[:, :4] = scale_coords_np((S, S), pred[:, :4], (h0, w0),
+                                              ratio_pad=ratio_pad)
             stem = Path(files1[i]).stem
             if args.save_txt and len(pred):
                 lines = [f"{int(c)} {x1:g} {y1:g} {x2:g} {y2:g} {s:g}"

@@ -322,10 +322,18 @@ class TransformerFusionBlock(nn.Module):
 
         def up_residual(flat, x):
             y = flat.reshape(b, va, ha, c)
-            # train: nearest; eval: bilinear (common.py:828-837). Both are
-            # half-pixel-centered, matching F.interpolate(align_corners=False).
-            method = "nearest" if train else "linear"
-            y = jax.image.resize(y, (b, hh, ww, c), method=method)
+            # train: nearest; eval: bilinear (common.py:828-837). torch nearest
+            # maps dst i -> src floor(i*in/out) (asymmetric), NOT half-pixel
+            # centers like jax.image.resize, so gather with precomputed indices
+            # (exact for all ratios, incl. the non-integer 16->40 at P4).
+            # Eval bilinear align_corners=False IS half-pixel == jax 'linear'.
+            if train:
+                import numpy as _np
+                iy = _np.floor(_np.arange(hh) * (va / hh)).astype(_np.int32)
+                ix = _np.floor(_np.arange(ww) * (ha / ww)).astype(_np.int32)
+                y = y[:, iy][:, :, ix]
+            else:
+                y = jax.image.resize(y, (b, hh, ww, c), method="linear")
             return y.astype(x.dtype) + x
 
         new_vis = up_residual(vis_flat, vis)

@@ -68,7 +68,7 @@ def kmean_anchors(wh: np.ndarray, n: int = 9, img_size: int = 640,
 
     thr = 1.0 / thr
     rng = np.random.default_rng(seed)
-    i = (wh >= 2.0).all(1)  # filter tiny (autoanchor.py:155-157)
+    i = (wh >= 2.0).any(1)  # filter tiny (autoanchor.py:155-157: > 2px in either dim)
     wh = wh[i].astype(np.float64)
 
     s = wh.std(0)
@@ -81,10 +81,13 @@ def kmean_anchors(wh: np.ndarray, n: int = 9, img_size: int = 640,
     sh = k.shape
     mp, sigma = 0.9, 0.1  # mutation prob/scale (autoanchor.py:185)
     for g in range(gen):
+        # zero-mean multiplicative jitter around 1 (autoanchor.py:186-188):
+        # mutated entries get 1 + U(0,1)*N(0,1)*sigma so anchors can both
+        # shrink and grow; non-mutated entries stay exactly 1
         v = np.ones(sh)
         while (v == 1).all():
             v = ((rng.random(sh) < mp) * rng.random() *
-                 rng.normal(1, sigma, sh) + 1).clip(0.3, 3.0)
+                 rng.standard_normal(sh) * sigma + 1).clip(0.3, 3.0)
         kg = (k * v).clip(min=2.0)
         fg = anchor_fitness(wh, kg, thr)
         if fg > f:

@@ -183,7 +183,10 @@ def fit(cfg: FitConfig) -> dict:
     final = {}
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.time()
-        means = np.zeros(4)
+        # per-component loss sums accumulate ON DEVICE (async dispatches, no
+        # per-step host sync); one device_get at epoch end yields true epoch
+        # means like the reference's running mloss (train.py:288-359)
+        loss_sums = jnp.zeros(4)
         n = 0
         def put(b):
             # async H2D: dispatch uploads ahead so they stream while the previous
@@ -205,14 +208,17 @@ def fit(cfg: FitConfig) -> dict:
             if cfg.multi_scale:
                 step = steps[scales[scale_rng.integers(len(scales))]]
             state, metrics = step(state, *cur)
+            loss_sums = loss_sums + jnp.stack(
+                [metrics["lbox"], metrics["lobj"], metrics["lcls"], metrics["loss"]])
             n += 1
         if pending is not None:  # last prefetched batch
             if cfg.multi_scale:
                 step = steps[scales[scale_rng.integers(len(scales))]]
             state, metrics = step(state, *pending)
+            loss_sums = loss_sums + jnp.stack(
+                [metrics["lbox"], metrics["lobj"], metrics["lcls"], metrics["loss"]])
             n += 1
-        means = np.array([float(metrics["lbox"]), float(metrics["lobj"]),
-                          float(metrics["lcls"]), float(metrics["loss"])])
+        means = np.asarray(jax.device_get(loss_sums), np.float64) / max(n, 1)
         lr_now = float(metrics["lr"])
 
         ev = {"mp": 0, "mr": 0, "map50": 0, "map": 0}

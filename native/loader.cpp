@@ -161,13 +161,18 @@ int icaf_decode_letterbox_batch(const char** rgb_paths, const char** ir_paths,
       if (!ok) {
         std::memset(orgb, 114, static_cast<size_t>(S) * S * 3);
         std::memset(oir, 114, static_cast<size_t>(S) * S * 3);
+        ratios[i * 2] = ratios[i * 2 + 1] = 1.0f;
+        pads[i * 2] = pads[i * 2 + 1] = 0.0f;
         orig_hw[i * 2] = orig_hw[i * 2 + 1] = 0;
         continue;
       }
       letterbox_into(buf_rgb, w0, h0, S, scaleup, orgb, ratios + i * 2,
                      pads + i * 2);
-      letterbox_into(buf_ir, w1, h1, S, scaleup, oir, ratios + i * 2,
-                     pads + i * 2);
+      // callers rescale boxes with the RGB stream's ratio/pad against the RGB
+      // orig_hw; the IR letterbox must not clobber those slots when the pair
+      // differs in resolution, so it writes to scratch
+      float ir_ratio[2], ir_pad[2];
+      letterbox_into(buf_ir, w1, h1, S, scaleup, oir, ir_ratio, ir_pad);
       orig_hw[i * 2] = h0;
       orig_hw[i * 2 + 1] = w0;
       ok_count.fetch_add(1);
