@@ -114,10 +114,12 @@ class Evaluator:
 
     def run(self, variables, val_batches, img_size: int,
             confusion: bool = False, mr_txt_dir: Optional[str] = None,
-            names: Optional[List[str]] = None, coco_json: Optional[str] = None):
+            names: Optional[List[str]] = None, coco_json: Optional[str] = None,
+            plots_dir: Optional[str] = None):
         """val_batches: iterator of dicts from PairedLoader.val_batches().
         Returns the summarize() dict (+ 'cm' if confusion). coco_json: path to
-        also dump COCO-format detections (test.py:185-194)."""
+        also dump COCO-format detections (test.py:185-194). plots_dir: emit
+        PR/F1/P/R curve pngs there (reference plot=True path)."""
         stats = []
         cm = ConfusionMatrix(self.nc) if confusion else None
         mr_lines = {}
@@ -179,7 +181,7 @@ class Evaluator:
                                                round(float(y2 - y1), 3)],
                                       "score": round(float(conf), 5)})
 
-        out = summarize(stats, self.nc)
+        out = summarize(stats, self.nc, plot_dir=plots_dir, names=names or ())
         out["seen"] = seen
         if cm is not None:
             out["cm"] = cm.matrix

@@ -21,69 +21,102 @@ def fitness(metrics_row: np.ndarray) -> float:
     return float((np.asarray(metrics_row)[:8] * w).sum())
 
 
+# sampling grids: confidence axis for P/R/F1, recall axis for AP integration
+CONF_GRID = np.linspace(0, 1, 1000)
+RECALL_GRID = np.linspace(0, 1, 101)   # 101-point COCO interpolation
+
+
+def _pad_envelope(recall, precision):
+    """Sentinel-pad the PR steps and make precision monotone non-increasing
+    (the precision envelope), vectorized over the trailing IoU axis.
+    recall/precision: (n, k) -> padded (n+2, k)."""
+    k = recall.shape[1]
+    rec = np.vstack([np.zeros((1, k)), recall, recall[-1:] + 0.01])
+    pre = np.vstack([np.ones((1, k)), precision, np.zeros((1, k))])
+    pre = np.maximum.accumulate(pre[::-1], axis=0)[::-1]
+    return rec, pre
+
+
 def compute_ap(recall, precision):
-    """AP via 101-point interpolated precision envelope (metrics.py:85-110)."""
-    mrec = np.concatenate(([0.0], recall, [recall[-1] + 0.01]))
-    mpre = np.concatenate(([1.0], precision, [0.0]))
-    mpre = np.flip(np.maximum.accumulate(np.flip(mpre)))
-    x = np.linspace(0, 1, 101)
-    ap = np.trapezoid(np.interp(x, mrec, mpre), x)
-    return ap, mpre, mrec
+    """AP of one PR curve via the 101-point interpolated envelope
+    (metrics.py:85-110). Returns (ap, envelope precision, padded recall)."""
+    rec, pre = _pad_envelope(np.asarray(recall)[:, None],
+                             np.asarray(precision)[:, None])
+    ap = np.trapezoid(np.interp(RECALL_GRID, rec[:, 0], pre[:, 0]), RECALL_GRID)
+    return ap, pre[:, 0], rec[:, 0]
 
 
-def ap_per_class(tp, conf, pred_cls, target_cls):
-    """Per-class AP over the IoU grid (metrics.py:18-82).
+def ap_per_class(tp, conf, pred_cls, target_cls, plot_dir=None, names=()):
+    """Per-class AP over the IoU grid; same outputs as reference metrics.py:18-82.
 
     tp: (n, niou) bool; conf, pred_cls: (n,); target_cls: (m,).
     Returns (tp_count, fp_count, fn_count, p, r, ap, f1, unique_classes) where
-    p/r/f1 are at the max-mean-F1 confidence threshold and ap is (nc, niou)."""
-    tp = np.asarray(tp)
-    conf = np.asarray(conf)
-    pred_cls = np.asarray(pred_cls)
-    target_cls = np.asarray(target_cls)
-
-    order = np.argsort(-conf)
-    tp, conf, pred_cls = tp[order], conf[order], pred_cls[order]
-
-    unique_classes = np.unique(target_cls)
-    nc = unique_classes.shape[0]
+    p/r/f1 are at the max-mean-F1 confidence threshold and ap is (nc, niou).
+    With plot_dir set, also writes PR/F1/P/R curve pngs there (the reference's
+    plot=True path, metrics.py:190-227)."""
+    tp, conf = np.asarray(tp), np.asarray(conf)
+    pred_cls, target_cls = np.asarray(pred_cls), np.asarray(target_cls)
     niou = tp.shape[1] if tp.ndim == 2 else 1
 
-    px = np.linspace(0, 1, 1000)
-    ap = np.zeros((nc, niou))
-    p = np.zeros((nc, 1000))
-    r = np.zeros((nc, 1000))
-    n_l = 0
-    for ci, c in enumerate(unique_classes):
-        i = pred_cls == c
-        n_l = (target_cls == c).sum()
-        n_p = int(i.sum())
-        if n_p == 0 or n_l == 0:
+    # one global sort by confidence; per-class curves are cumulative slices
+    order = np.argsort(-conf)
+    tp, conf, pred_cls = tp[order], conf[order], pred_cls[order]
+    classes, gt_counts = np.unique(target_cls, return_counts=True)
+
+    ap = np.zeros((len(classes), niou))
+    p_curve = np.zeros((len(classes), CONF_GRID.size))
+    r_curve = np.zeros((len(classes), CONF_GRID.size))
+    pr_plot = []
+    for ci, (c, n_gt) in enumerate(zip(classes, gt_counts)):
+        sel = pred_cls == c
+        if n_gt == 0 or not sel.any():
             continue
-        fpc = (1 - tp[i]).cumsum(0)
-        tpc = tp[i].cumsum(0)
-        recall = tpc / (n_l + 1e-16)
-        r[ci] = np.interp(-px, -conf[i], recall[:, 0], left=0)
-        precision = tpc / (tpc + fpc)
-        p[ci] = np.interp(-px, -conf[i], precision[:, 0], left=1)
+        hits = tp[sel].cumsum(0).astype(np.float64)       # (n_c, niou)
+        found = np.arange(1, len(hits) + 1)[:, None]      # hits + misses
+        recall = hits / (n_gt + 1e-16)
+        precision = hits / found
+        # sample P/R onto the descending-confidence grid (interp wants
+        # ascending x, hence the negated axes)
+        r_curve[ci] = np.interp(-CONF_GRID, -conf[sel], recall[:, 0], left=0)
+        p_curve[ci] = np.interp(-CONF_GRID, -conf[sel], precision[:, 0], left=1)
+        rec_pad, pre_env = _pad_envelope(recall, precision)
         for j in range(niou):
-            ap[ci, j], _, _ = compute_ap(recall[:, j], precision[:, j])
+            ap[ci, j] = np.trapezoid(
+                np.interp(RECALL_GRID, rec_pad[:, j], pre_env[:, j]), RECALL_GRID)
+        pr_plot.append(np.interp(CONF_GRID, rec_pad[:, 0], pre_env[:, 0]))
 
-    f1 = 2 * p * r / (p + r + 1e-16)
-    i = f1.mean(0).argmax()
-    # the reference reuses the LAST class's n_l here (metrics.py:78-80) — a quirk
-    # meaningful only for nc==1, which is the only case these counts are printed for
-    tp_cnt = (r * n_l).round()
-    fn_cnt = n_l - tp_cnt
-    fp_cnt = (tp_cnt / (p + 1e-16) - tp_cnt).round()
-    return (tp_cnt[:, i], fp_cnt[:, i], fn_cnt[:, i], p[:, i], r[:, i], ap,
-            f1[:, i], unique_classes.astype(np.int32))
+    f1_curve = 2 * p_curve * r_curve / (p_curve + r_curve + 1e-16)
+    best = f1_curve.mean(0).argmax()                      # max mean-F1 threshold
+    # count reconstruction reuses the LAST class's gt count, a reference quirk
+    # (metrics.py:78-80) that only matters for nc==1 where the counts are printed
+    n_last = gt_counts[-1] if len(gt_counts) else 0
+    tp_cnt = (r_curve * n_last).round()
+    fn_cnt = n_last - tp_cnt
+    fp_cnt = (tp_cnt / (p_curve + 1e-16) - tp_cnt).round()
+
+    if plot_dir is not None and pr_plot:
+        from pathlib import Path
+
+        from icafusion_tpu.utils.plots import plot_mc_curve, plot_pr_curve
+        d = Path(plot_dir)
+        d.mkdir(parents=True, exist_ok=True)
+        plot_pr_curve(CONF_GRID, np.stack(pr_plot, 1), ap, d / "PR_curve.png",
+                      names)
+        plot_mc_curve(CONF_GRID, f1_curve, d / "F1_curve.png", names, ylabel="F1")
+        plot_mc_curve(CONF_GRID, p_curve, d / "P_curve.png", names,
+                      ylabel="Precision")
+        plot_mc_curve(CONF_GRID, r_curve, d / "R_curve.png", names,
+                      ylabel="Recall")
+
+    return (tp_cnt[:, best], fp_cnt[:, best], fn_cnt[:, best], p_curve[:, best],
+            r_curve[:, best], ap, f1_curve[:, best], classes.astype(np.int32))
 
 
-def summarize(stats, nc: int):
+def summarize(stats, nc: int, plot_dir=None, names=()):
     """Aggregate per-image stats -> dict of headline metrics (test.py:288-312).
 
-    stats: list of (correct (n,niou) bool, conf (n,), pred_cls (n,), tcls list)."""
+    stats: list of (correct (n,niou) bool, conf (n,), pred_cls (n,), tcls list).
+    plot_dir: also emit PR/F1/P/R curve pngs (reference plot=True path)."""
     out = dict(mp=0.0, mr=0.0, map50=0.0, map75=0.0, map=0.0,
                per_class={}, nt=np.zeros(nc, np.int64))
     if not stats:
@@ -93,7 +126,7 @@ def summarize(stats, nc: int):
     if not len(arrs[0]):
         return out
     tp_c, fp_c, fn_c, p, r, ap, f1, classes = ap_per_class(
-        arrs[0], arrs[1], arrs[2], tcls)
+        arrs[0], arrs[1], arrs[2], tcls, plot_dir=plot_dir, names=names)
     ap50, ap75, ap_mean = ap[:, 0], ap[:, 5], ap.mean(1)
     out.update(mp=float(p.mean()), mr=float(r.mean()), map50=float(ap50.mean()),
                map75=float(ap75.mean()), map=float(ap_mean.mean()))

@@ -49,6 +49,16 @@ def _iou_row(box, boxes):
     return inter / (area1 + area2 - inter + 1e-12)
 
 
+def _iou_matrix(a, b):
+    """Pairwise IoU (M,4) x (K,4) -> (M,K), same convention as _iou_row."""
+    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
+    rb = jnp.minimum(a[:, None, 2:4], b[None, :, 2:4])
+    inter = jnp.clip(rb - lt, 0).prod(-1)
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    return inter / (area_a[:, None] + area_b[None, :] - inter + 1e-12)
+
+
 def _greedy_nms(boxes_off, scores, iou_thres: float, max_det: int):
     """max_det steps of (pick argmax, suppress IoU > thresh). Returns indices into
     the candidate axis and a per-step validity flag."""
@@ -66,16 +76,21 @@ def _greedy_nms(boxes_off, scores, iou_thres: float, max_det: int):
 
 @functools.partial(jax.jit, static_argnames=("conf_thres", "iou_thres", "multi_label",
                                              "agnostic", "max_det", "top_k",
-                                             "use_pallas"))
+                                             "use_pallas", "merge"))
 def non_max_suppression(prediction, conf_thres: float = 0.25, iou_thres: float = 0.45,
                         multi_label: bool = False, agnostic: bool = False,
                         max_det: int = 300, top_k: int = 4096,
-                        use_pallas: bool = None) -> Detections:
+                        use_pallas: bool = None, merge: bool = False) -> Detections:
     """Batched NMS over decoded predictions (B, N, 5+nc) in xywh+obj+cls layout.
 
     Equivalent to reference general.py:518-607 with fixed shapes. ``top_k`` bounds the
     candidate pool entering suppression (reference max_nms=30000; candidates beyond
     the top 4k by confidence cannot alter the top-300 kept set in practice).
+
+    ``merge=True`` is the reference's merge-NMS (general.py:594-600): each kept
+    box becomes the conf-weighted mean of ALL candidate boxes overlapping it at
+    IoU > iou_thres (class-offset space), and non-redundant keeps (matched only
+    by themselves) are dropped.
 
     On TPU the greedy selection loop runs as one Pallas kernel per image
     (kernels/nms.py) — the lax.scan formulation costs ~300 sequential dispatches."""
@@ -127,6 +142,23 @@ def non_max_suppression(prediction, conf_thres: float = 0.25, iou_thres: float =
     out_boxes = take(cand_boxes, keep)
     out_scores = jnp.clip(take(s, keep), 0.0)
     out_cls = take(ci, keep).astype(jnp.int32)
+
+    if merge:
+        def merge_one(kept_off, cand_off, cand_raw, sc, boxes_kept):
+            iou = (_iou_matrix(kept_off, cand_off) > iou_thres) \
+                & (sc > 0.0)[None, :]                           # (max_det, K); mask padding
+            w = iou * jnp.clip(sc, 0.0)[None, :]
+            num = w @ cand_raw
+            den = jnp.maximum(w.sum(1, keepdims=True), 1e-12)
+            merged = num / den
+            redundant = iou.sum(1) > 1                          # general.py:599
+            return jnp.where(redundant[:, None], merged, boxes_kept), redundant
+
+        kept_off = take(boxes_off, keep)
+        out_boxes, redundant = jax.vmap(merge_one)(
+            kept_off, boxes_off, cand_boxes, s, out_boxes)
+        ok = ok & redundant
+
     return Detections(out_boxes, out_scores, out_cls, ok)
 
 

@@ -41,6 +41,27 @@ RESULTS_HEADER = ["epoch", "lbox", "lobj", "lcls", "P", "R", "mAP50", "mAP",
                   "fitness", "lr", "time_s"]
 
 
+class EpochMeter:
+    """Device-side running sums of the per-step loss components.
+
+    Adds are lazy jax ops (no host sync); means() syncs ONCE per epoch. The
+    reference keeps a host-side running mloss (train.py:288-359); this is the
+    same average without a device->host transfer per step."""
+    KEYS = ("lbox", "lobj", "lcls", "loss")
+
+    def __init__(self):
+        self.sums = jnp.zeros(len(self.KEYS))
+        self.n = 0
+
+    def add(self, metrics):
+        self.sums = self.sums + jnp.stack([metrics[k] for k in self.KEYS])
+        self.n += 1
+
+    def means(self) -> np.ndarray:
+        return (np.asarray(jax.device_get(self.sums), np.float64)
+                / max(self.n, 1))
+
+
 @dataclasses.dataclass
 class FitConfig:
     model_cfg: ModelConfig
@@ -105,6 +126,18 @@ def fit(cfg: FitConfig) -> dict:
         cache_dir=str(run_dir / ".cache"))
     from icafusion_tpu.utils.general import labels_to_class_weights
     class_w = labels_to_class_weights(train_ds.labels, cfg.data_cfg.nc)
+
+    # observability: TB facade + label-distribution plot at start
+    # (reference SummaryWriter train.py:586, plot_labels train.py:222/plots.py:330)
+    from icafusion_tpu.utils.loggers import Loggers
+    loggers = Loggers(run_dir)
+    names = list(cfg.data_cfg.names or [])
+    try:
+        if any(len(l) for l in train_ds.labels):
+            from icafusion_tpu.utils.plots import plot_labels
+            plot_labels(train_ds.labels, names, run_dir)
+    except Exception as e:  # plotting must never kill training
+        print(f"plot_labels failed: {e}")
     loader = PairedLoader(train_ds, batch_size=cfg.batch_size,
                           max_targets=cfg.max_targets, seed=cfg.seed,
                           num_workers=cfg.workers,
@@ -183,11 +216,7 @@ def fit(cfg: FitConfig) -> dict:
     final = {}
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.time()
-        # per-component loss sums accumulate ON DEVICE (async dispatches, no
-        # per-step host sync); one device_get at epoch end yields true epoch
-        # means like the reference's running mloss (train.py:288-359)
-        loss_sums = jnp.zeros(4)
-        n = 0
+        meter = EpochMeter()
         def put(b):
             # async H2D: dispatch uploads ahead so they stream while the previous
             # step computes (device_put returns before the transfer completes)
@@ -199,7 +228,17 @@ def fit(cfg: FitConfig) -> dict:
         assert loader.steps_per_epoch > 0, "dataset smaller than one batch"
         it = iter(loader.epoch(epoch))
         pending = None
+        n_plotted = 0
         for batch in it:
+            # first-3-batch training mosaics (reference train.py:361-365)
+            if epoch == start_epoch and n_plotted < 3:
+                try:
+                    from icafusion_tpu.utils.plots import plot_images
+                    plot_images(batch["rgb"], batch["targets"], batch["mask"],
+                                run_dir / f"train_batch{n_plotted}.jpg", names)
+                except Exception as e:
+                    print(f"plot_images failed: {e}")
+                n_plotted += 1
             nxt = put(batch)
             if pending is None:
                 pending = nxt
@@ -208,23 +247,24 @@ def fit(cfg: FitConfig) -> dict:
             if cfg.multi_scale:
                 step = steps[scales[scale_rng.integers(len(scales))]]
             state, metrics = step(state, *cur)
-            loss_sums = loss_sums + jnp.stack(
-                [metrics["lbox"], metrics["lobj"], metrics["lcls"], metrics["loss"]])
-            n += 1
+            meter.add(metrics)
         if pending is not None:  # last prefetched batch
             if cfg.multi_scale:
                 step = steps[scales[scale_rng.integers(len(scales))]]
             state, metrics = step(state, *pending)
-            loss_sums = loss_sums + jnp.stack(
-                [metrics["lbox"], metrics["lobj"], metrics["lcls"], metrics["loss"]])
-            n += 1
-        means = np.asarray(jax.device_get(loss_sums), np.float64) / max(n, 1)
+            meter.add(metrics)
+        means = meter.means()
         lr_now = float(metrics["lr"])
 
         ev = {"mp": 0, "mr": 0, "map50": 0, "map": 0}
-        if (epoch + 1) % cfg.eval_every == 0 or epoch == cfg.epochs - 1:
+        last_epoch = epoch == cfg.epochs - 1
+        if (epoch + 1) % cfg.eval_every == 0 or last_epoch:
             ema_vars = jax.device_get(state.ema.tree)
-            ev = evaluator.run(ema_vars, val_loader.val_batches(), cfg.imgsz)
+            # final epoch also emits PR/F1/P/R curves + confusion matrix
+            # (reference test.py plots at final eval, train.py:454-473)
+            ev = evaluator.run(ema_vars, val_loader.val_batches(), cfg.imgsz,
+                               confusion=last_epoch, names=names,
+                               plots_dir=str(run_dir) if last_epoch else None)
             fit_val = fitness(np.array([0, 0, 0, 0, ev["mp"], ev["mr"],
                                         ev["map50"], ev["map"]]))
             if fit_val > best_fit:
@@ -240,12 +280,28 @@ def fit(cfg: FitConfig) -> dict:
                  f"{ev['mp']:.5f}", f"{ev['mr']:.5f}", f"{ev['map50']:.5f}",
                  f"{ev['map']:.5f}", f"{best_fit:.5f}", f"{lr_now:.6f}",
                  f"{dt:.1f}"])
+        loggers.log_scalars(
+            {"train/box_loss": means[0], "train/obj_loss": means[1],
+             "train/cls_loss": means[2], "train/loss": means[3],
+             "metrics/precision": ev["mp"], "metrics/recall": ev["mr"],
+             "metrics/mAP_0.5": ev["map50"], "metrics/mAP_0.5:0.95": ev["map"],
+             "x/lr": lr_now}, epoch)
         print(f"epoch {epoch}/{cfg.epochs - 1}: loss={means[3]:.4f} "
               f"mAP50={ev['map50']:.4f} best={best_fit:.4f} ({dt:.0f}s)")
         final = ev
 
     strip_checkpoint(wdir / "best.ckpt" if (wdir / "best.ckpt").exists()
                      else wdir / "last.ckpt", wdir / "stripped.ckpt")
+    try:  # results.png + confusion png (reference plot_results plots.py:457)
+        from icafusion_tpu.utils.plots import plot_confusion_matrix, plot_results
+        plot_results(results_csv)
+        if isinstance(final.get("cm"), np.ndarray):
+            plot_confusion_matrix(final["cm"], names,
+                                  run_dir / "confusion_matrix.png")
+    except Exception as e:
+        print(f"final plots failed: {e}")
+    loggers.close()
+    final.pop("cm", None)
     final["best_fitness"] = best_fit
     final["run_dir"] = str(run_dir)
     return final

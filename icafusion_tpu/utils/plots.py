@@ -147,6 +147,54 @@ def plot_pr_curve(px, py, ap, save_path, names=()):
     plt.close(fig)
 
 
+def plot_mc_curve(px, py, save_path, names=(), xlabel="Confidence", ylabel="Metric"):
+    """Metric-vs-confidence curves per class (metrics.py:208-227)."""
+    fig, ax = plt.subplots(1, 1, figsize=(9, 6), tight_layout=True)
+    py = np.asarray(py)
+    if 0 < len(names) < 21 and len(names) == py.shape[0]:
+        for i, y in enumerate(py):
+            ax.plot(px, y, linewidth=1, label=str(names[i]))
+    else:
+        ax.plot(px, py.T, linewidth=1, color="grey")
+    y = py.mean(0)
+    ax.plot(px, y, linewidth=3, color="blue",
+            label=f"all classes {y.max():.2f} at {px[y.argmax()]:.3f}")
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1)
+    ax.legend(loc="lower left", fontsize=8)
+    fig.savefig(save_path, dpi=250)
+    plt.close(fig)
+
+
+def plot_confusion_matrix(matrix, names=(), save_path="confusion_matrix.png"):
+    """Normalized confusion matrix heatmap incl. background row/col
+    (metrics.py:164-181)."""
+    m = np.asarray(matrix, np.float64)
+    m = m / (m.sum(0, keepdims=True) + 1e-6)
+    n = m.shape[0]
+    fig, ax = plt.subplots(figsize=(8, 7), tight_layout=True)
+    im = ax.imshow(m, cmap="Blues", vmin=0, vmax=1)
+    fig.colorbar(im, ax=ax)
+    ticks = (list(names) + ["background"]) if len(names) == n - 1 else \
+        [str(i) for i in range(n)]
+    ax.set_xticks(range(n))
+    ax.set_xticklabels(ticks, rotation=90, fontsize=8)
+    ax.set_yticks(range(n))
+    ax.set_yticklabels(ticks, fontsize=8)
+    ax.set_xlabel("True")
+    ax.set_ylabel("Predicted")
+    for i in range(n):
+        for j in range(n):
+            if m[i, j] > 0.005:
+                ax.text(j, i, f"{m[i, j]:.2f}", ha="center", va="center",
+                        fontsize=7, color="white" if m[i, j] > 0.5 else "black")
+    fig.savefig(save_path, dpi=200)
+    plt.close(fig)
+    return save_path
+
+
 def plot_mr_fppi(fppi, missrate, save_path, label=""):
     """KAIST MR-FPPI log-log curve (evaluation_script.py:397-430 draw_figure)."""
     fig, ax = plt.subplots(figsize=(8, 6), tight_layout=True)

@@ -1,0 +1,82 @@
+"""Training-driver behavior: epoch-mean loss logging and the run-dir artifact
+set the reference emits (train.py:361-365 mosaics, plots.py:330 labels,
+metrics.py:190-227 curves, plots.py:457 results.png, confusion matrix)."""
+
+import csv
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_epoch_meter_is_true_mean():
+    """results.csv loss columns must be epoch means of per-step losses, not the
+    last batch's values (reference running mloss, train.py:288-359)."""
+    from icafusion_tpu.train.fit import EpochMeter
+    rng = np.random.default_rng(0)
+    steps = [dict(lbox=jnp.asarray(v[0]), lobj=jnp.asarray(v[1]),
+                  lcls=jnp.asarray(v[2]), loss=jnp.asarray(v[0] + v[1] + v[2]))
+             for v in rng.random((5, 3)).astype(np.float32)]
+    meter = EpochMeter()
+    for m in steps:
+        meter.add(m)
+    expect = np.mean([[float(m[k]) for k in EpochMeter.KEYS] for m in steps], 0)
+    np.testing.assert_allclose(meter.means(), expect, rtol=1e-6)
+    # means, not the final step's values
+    last = np.array([float(steps[-1][k]) for k in EpochMeter.KEYS])
+    assert not np.allclose(meter.means(), last)
+
+
+def _make_disk_dataset(root: Path, n: int, nc: int = 2, hw: int = 96):
+    import cv2
+    rng = np.random.default_rng(0)
+    for sub in ("visible/train", "infrared/train", "labels/train"):
+        (root / sub).mkdir(parents=True, exist_ok=True)
+    for i in range(n):
+        rgb = rng.integers(0, 40, (hw, hw, 3), dtype=np.uint8)
+        ir = rng.integers(0, 30, (hw, hw, 3), dtype=np.uint8)
+        lines = []
+        for _ in range(int(rng.integers(1, 3))):
+            bw = int(rng.uniform(0.2, 0.4) * hw)
+            x1, y1 = int(rng.uniform(0, hw - bw)), int(rng.uniform(0, hw - bw))
+            cls = int(rng.integers(0, nc))
+            cv2.rectangle(rgb, (x1, y1), (x1 + bw, y1 + bw),
+                          (255, 40, 40) if cls == 0 else (40, 255, 40), -1)
+            cv2.rectangle(ir, (x1, y1), (x1 + bw, y1 + bw), (220, 220, 220), -1)
+            lines.append(f"{cls} {(x1 + bw / 2) / hw:.6f} {(y1 + bw / 2) / hw:.6f} "
+                         f"{bw / hw:.6f} {bw / hw:.6f}")
+        cv2.imwrite(str(root / "visible/train" / f"i{i:03d}.jpg"), rgb[:, :, ::-1])
+        cv2.imwrite(str(root / "infrared/train" / f"i{i:03d}.jpg"), ir[:, :, ::-1])
+        (root / "labels/train" / f"i{i:03d}.txt").write_text("\n".join(lines) + "\n")
+
+
+@pytest.mark.slow
+def test_fit_run_dir_artifacts(tmp_path):
+    """A 2-epoch smoke fit must emit the reference's artifact set."""
+    from icafusion_tpu.config import DataConfig, load_hyp_config
+    from icafusion_tpu.models.zoo import tiny_icafusion_config
+    from icafusion_tpu.train.fit import FitConfig, fit
+
+    _make_disk_dataset(tmp_path / "data", n=8)
+    data_cfg = DataConfig(nc=2, names=("a", "b"), path=str(tmp_path / "data"),
+                          train_rgb="visible/train", val_rgb="visible/train",
+                          train_ir="infrared/train", val_ir="infrared/train")
+    result = fit(FitConfig(
+        model_cfg=tiny_icafusion_config(nc=2), data_cfg=data_cfg,
+        hyp=load_hyp_config(None), epochs=2, batch_size=4, imgsz=96,
+        project=str(tmp_path / "runs"), name="exp", autoanchor=False,
+        workers=0, warmup_min_steps=2, max_targets=16, n_devices=2))
+
+    run_dir = Path(result["run_dir"])
+    expected = ["results.csv", "labels.png", "train_batch0.jpg",
+                "train_batch1.jpg", "results.png", "PR_curve.png",
+                "F1_curve.png", "P_curve.png", "R_curve.png",
+                "confusion_matrix.png", "hyp.yaml", "opt.json",
+                "weights/last.ckpt", "weights/stripped.ckpt"]
+    missing = [f for f in expected if not (run_dir / f).exists()]
+    assert not missing, f"missing run-dir artifacts: {missing}"
+
+    rows = list(csv.DictReader(open(run_dir / "results.csv")))
+    assert len(rows) == 2
+    assert all(float(r["lobj"]) > 0 for r in rows)

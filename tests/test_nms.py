@@ -100,6 +100,66 @@ def test_nms_max_det_truncation():
     np.testing.assert_allclose(kept[:, 4], ref[:, 4], rtol=1e-5)
 
 
+def np_merge_nms_pipeline(pred, conf_thres, iou_thres, multi_label, max_det=300):
+    """Numpy oracle for merge-NMS (general.py:594-600): kept boxes become the
+    conf-weighted mean of all candidates with IoU > thresh (class-offset space);
+    keeps matched only by themselves are dropped (redundant=True)."""
+    out = []
+    nc = pred.shape[2] - 5
+    for x in pred:
+        x = x[x[:, 4] > conf_thres]
+        if not len(x):
+            out.append(np.zeros((0, 6), np.float32))
+            continue
+        x = x.copy()
+        x[:, 5:] *= x[:, 4:5]
+        box = np.concatenate([x[:, :2] - x[:, 2:4] / 2, x[:, :2] + x[:, 2:4] / 2], 1)
+        if multi_label and nc > 1:
+            i, j = np.nonzero(x[:, 5:] > conf_thres)
+            x = np.concatenate([box[i], x[i, j + 5, None],
+                                j[:, None].astype(np.float32)], 1)
+        else:
+            conf = x[:, 5:].max(1, keepdims=True)
+            j = x[:, 5:].argmax(1, keepdims=True)
+            x = np.concatenate([box, conf, j.astype(np.float32)], 1)
+            x = x[conf.ravel() > conf_thres]
+        if not len(x):
+            out.append(np.zeros((0, 6), np.float32))
+            continue
+        c = x[:, 5:6] * MAX_WH
+        boxes_off = x[:, :4] + c
+        keep = np_greedy_nms(boxes_off, x[:, 4], iou_thres)[:max_det]
+        # pairwise IoU of kept vs all candidates in offset space
+        lt = np.maximum(boxes_off[keep, None, :2], boxes_off[None, :, :2])
+        rb = np.minimum(boxes_off[keep, None, 2:], boxes_off[None, :, 2:])
+        inter = np.clip(rb - lt, 0, None).prod(-1)
+        a1 = (boxes_off[keep, 2] - boxes_off[keep, 0]) * \
+             (boxes_off[keep, 3] - boxes_off[keep, 1])
+        a2 = (boxes_off[:, 2] - boxes_off[:, 0]) * \
+             (boxes_off[:, 3] - boxes_off[:, 1])
+        iou = inter / (a1[:, None] + a2[None, :] - inter + 1e-12) > iou_thres
+        w = iou * x[:, 4][None, :]
+        kept = x[keep].copy()
+        kept[:, :4] = (w @ x[:, :4]) / w.sum(1, keepdims=True)
+        out.append(kept[iou.sum(1) > 1])
+    return out
+
+
+@pytest.mark.parametrize("multi_label", [False, True])
+def test_merge_nms_matches_numpy_oracle(multi_label):
+    rng = np.random.default_rng(3)
+    pred = random_preds(rng, 2, 600, 3, frac_confident=0.2)
+    ours = non_max_suppression(jnp.asarray(pred), conf_thres=0.25, iou_thres=0.45,
+                               multi_label=multi_label, top_k=4096, merge=True)
+    ours_list = detections_to_numpy(ours)
+    ref_list = np_merge_nms_pipeline(pred, 0.25, 0.45, multi_label)
+    for o, r in zip(ours_list, ref_list):
+        assert o.shape[0] == r.shape[0], f"kept counts differ: {o.shape[0]} vs {r.shape[0]}"
+        np.testing.assert_allclose(o[:, 4], r[:, 4], rtol=1e-5)
+        np.testing.assert_allclose(o[:, :4], r[:, :4], rtol=1e-4, atol=1e-2)
+        np.testing.assert_array_equal(o[:, 5].astype(int), r[:, 5].astype(int))
+
+
 def test_nms_empty_input():
     pred = np.zeros((1, 100, 8), np.float32)
     dets = non_max_suppression(jnp.asarray(pred), conf_thres=0.25)
