@@ -4,10 +4,14 @@ The reference exports TorchScript/ONNX/CoreML of the *single-input* model; the
 TPU-native equivalents are:
 - StableHLO (jax.export): the portable serialized program, two-stream, with the
   full decode (and optional NMS) baked in — loadable by any StableHLO runtime
+- TF SavedModel (jax2tf): the interchange format — loadable by TF Serving,
+  TFLite conversion, or tf2onnx into the ONNX ecosystem (the analog of the
+  reference's ONNX opset-12 export, models/export.py:85-107; tf2onnx is not in
+  this image, so the ONNX step is documented, not run)
 - stripped msgpack weights (EMA, fp16) for this framework's own runtime
 
     python -m icafusion_tpu.cli.export --weights best.ckpt --cfg zoo:tfb:s \
-        --img-size 640 --batch 1 --include stablehlo weights [--nms]
+        --img-size 640 --batch 1 --include stablehlo savedmodel weights [--nms]
 """
 
 from __future__ import annotations
@@ -25,13 +29,46 @@ def parse_args(argv=None):
     ap.add_argument("--img-size", type=int, default=640)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--include", nargs="+", default=["stablehlo", "weights"],
-                    choices=["stablehlo", "weights"])
+                    choices=["stablehlo", "savedmodel", "weights"])
     ap.add_argument("--nms", action="store_true",
                     help="bake NMS into the exported program")
     ap.add_argument("--conf-thres", type=float, default=0.25)
     ap.add_argument("--iou-thres", type=float, default=0.45)
     ap.add_argument("--out", default=None, help="output stem (default: weights path)")
     return ap.parse_args(argv)
+
+
+def export_savedmodel(forward, sample, out_dir: str, with_nms: bool = False):
+    """jax2tf -> TF SavedModel with a single serving signature taking
+    (rgb, ir) float32 NHWC in [0,1]. Returns the path, or None when TF is
+    unavailable (documented fallback — the env guard the reference applies to
+    its optional coreml/onnx deps, models/export.py:88-127)."""
+    try:
+        import tensorflow as tf
+        from jax.experimental import jax2tf
+    except ImportError as e:
+        print(f"SavedModel export skipped: {e}")
+        return None
+
+    tf_fn = jax2tf.convert(forward, with_gradient=False)
+    module = tf.Module()
+    spec = tf.TensorSpec(sample.shape, tf.float32)
+
+    if with_nms:
+        # Detections namedtuple -> dict outputs for a stable TF signature
+        def wrapped(rgb, ir):
+            d = tf_fn(rgb, ir)
+            return {"boxes": d[0], "scores": d[1], "classes": d[2],
+                    "valid": d[3]}
+    else:
+        def wrapped(rgb, ir):
+            pred, logits = tf_fn(rgb, ir)
+            return {"pred": pred, "logits": logits}
+
+    module.serve = tf.function(wrapped, input_signature=[spec, spec])
+    tf.saved_model.save(module, out_dir,
+                        signatures={"serving_default": module.serve})
+    return out_dir
 
 
 def main(argv=None):
@@ -71,6 +108,14 @@ def main(argv=None):
         mlir = stem.with_suffix(".mlir.txt")
         mlir.write_text(exported.mlir_module())
         print(f"MLIR text: {mlir}")
+
+    if "savedmodel" in args.include:
+        sm_path = export_savedmodel(forward, x, str(stem) + "_savedmodel",
+                                    with_nms=args.nms)
+        if sm_path:
+            print(f"TF SavedModel: {sm_path}")
+            print("  -> ONNX: python -m tf2onnx.convert --saved-model "
+                  f"{sm_path} --output {stem}.onnx  (tf2onnx not in this image)")
 
     if "weights" in args.include:
         from flax import serialization

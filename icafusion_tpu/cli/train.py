@@ -38,7 +38,25 @@ def parse_args(argv=None):
     ap.add_argument("--image-weights", action="store_true",
                     help="class-aware image resampling per epoch")
     ap.add_argument("--noautoanchor", action="store_true")
+    ap.add_argument("--accum", default=None,
+                    help="gradient accumulation: an integer, or 'auto' for the "
+                         "reference nbs=64 rule (train.py:123-124)")
+    ap.add_argument("--evolve", type=int, default=0, metavar="N",
+                    help="evolve hyperparameters for N generations of short "
+                         "runs (reference GA, train.py:590-670)")
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host SPMD: jax.distributed.initialize() + "
+                         "process_index()==0 side-effect gating")
     return ap.parse_args(argv)
+
+
+def resolve_accum(accum, batch_size: int, nbs: int = 64) -> int:
+    """'auto' -> reference rule max(round(nbs / batch), 1) (train.py:123-124)."""
+    if accum in (None, "", "none"):
+        return 1
+    if str(accum).lower() == "auto":
+        return max(round(nbs / batch_size), 1)
+    return max(int(accum), 1)
 
 
 def main(argv=None):
@@ -54,14 +72,43 @@ def main(argv=None):
     model_cfg = resolve_model_config(args.cfg, nc=data_cfg.nc)
     imgsz = check_img_size(args.img_size, 32)
 
-    result = fit(FitConfig(
-        model_cfg=model_cfg, data_cfg=data_cfg, hyp=hyp, epochs=args.epochs,
-        batch_size=args.batch_size, imgsz=imgsz, project=args.project,
-        name=args.name, seed=args.seed, bf16=args.bf16, workers=args.workers,
-        eval_every=args.eval_every, pretrained=args.weights, resume=args.resume,
-        n_devices=args.devices, save_every=args.save_every,
-        warmup_min_steps=args.warmup_min, multi_scale=args.multi_scale,
-        image_weights=args.image_weights, autoanchor=not args.noautoanchor))
+    def make_cfg(hyp_cfg, name=None, epochs=None):
+        return FitConfig(
+            model_cfg=model_cfg, data_cfg=data_cfg, hyp=hyp_cfg,
+            epochs=epochs or args.epochs, batch_size=args.batch_size,
+            imgsz=imgsz, project=args.project, name=name or args.name,
+            seed=args.seed, bf16=args.bf16, workers=args.workers,
+            eval_every=args.eval_every, pretrained=args.weights,
+            resume=args.resume, n_devices=args.devices,
+            save_every=args.save_every, warmup_min_steps=args.warmup_min,
+            multi_scale=args.multi_scale, image_weights=args.image_weights,
+            autoanchor=not args.noautoanchor,
+            accum_steps=resolve_accum(args.accum, args.batch_size),
+            distributed=args.distributed)
+
+    if args.evolve:
+        # GA over the hyp space: each generation is a short fit() run scored
+        # by fitness = mAP@0.5 (reference train.py:590-670)
+        import yaml
+        from pathlib import Path
+        from icafusion_tpu.train.evolve import evolve
+        gen = [0]
+
+        def train_fn(hyp_cand):
+            gen[0] += 1
+            r = fit(make_cfg(hyp_cand, name=f"{args.name}_evolve{gen[0]}"))
+            return r.get("best_fitness", 0.0)
+
+        best = evolve(train_fn, hyp, generations=args.evolve,
+                      log_path=str(Path(args.project) / "evolve.csv"),
+                      seed=args.seed)
+        out = Path(args.project) / "hyp_evolved.yaml"
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_text(yaml.safe_dump(best.as_dict()))
+        print(f"evolve done: best hyp -> {out}")
+        return best
+
+    result = fit(make_cfg(hyp))
     print(f"done: mAP50={result.get('map50', 0):.4f} "
           f"best_fitness={result.get('best_fitness', 0):.4f} "
           f"run={result.get('run_dir')}")

@@ -91,13 +91,13 @@ class Evaluator:
     top_k: int = 8192                    # candidate pool at conf 0.001
     single_cls: bool = False             # force class 0 (test.py:157-158)
     augment: bool = False                # TTA ensemble (test.py:128 augment=)
+    n_devices: Optional[int] = None      # shard eval batches over a data mesh
 
     def __post_init__(self):
         model = self.model
         use_tta = self.augment
 
-        @jax.jit
-        def _infer(variables, rgb, ir):
+        def _infer_fn(variables, rgb, ir):
             rgb = rgb.astype(jnp.float32) / 255.0
             ir = ir.astype(jnp.float32) / 255.0
             if use_tta:
@@ -110,7 +110,22 @@ class Evaluator:
                                        agnostic=self.single_cls,
                                        max_det=self.max_det, top_k=self.top_k)
 
-        self._infer = _infer
+        if self.n_devices is not None and self.n_devices != 1:
+            # multi-chip eval: batch sharded over the data mesh, params
+            # replicated — same SPMD shape as the train step/serving engine
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from icafusion_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh(self.n_devices)
+            repl = NamedSharding(mesh, P())
+            data = NamedSharding(mesh, P("data"))
+            self._data_sharding = data
+            self._repl_sharding = repl
+            self._infer = jax.jit(_infer_fn, in_shardings=(repl, data, data),
+                                  out_shardings=data)
+        else:
+            self._data_sharding = None
+            self._infer = jax.jit(_infer_fn)
 
     def run(self, variables, val_batches, img_size: int,
             confusion: bool = False, mr_txt_dir: Optional[str] = None,
@@ -125,9 +140,15 @@ class Evaluator:
         mr_lines = {}
         jdict = []
         seen = 0
+        if self._data_sharding is not None:
+            variables = jax.device_put(variables, self._repl_sharding)
         for batch in val_batches:
-            dets = self._infer(variables, jnp.asarray(batch["rgb"]),
-                               jnp.asarray(batch["ir"]))
+            if self._data_sharding is not None:
+                rgb = jax.device_put(batch["rgb"], self._data_sharding)
+                ir = jax.device_put(batch["ir"], self._data_sharding)
+            else:
+                rgb, ir = jnp.asarray(batch["rgb"]), jnp.asarray(batch["ir"])
+            dets = self._infer(variables, rgb, ir)
             det_list = detections_to_numpy(dets)
             for si in range(batch["count"]):
                 pred = det_list[si]

@@ -85,24 +85,46 @@ class FitConfig:
     autoanchor: bool = True              # check/evolve anchors (train.py:227-228)
     image_weights: bool = False          # class-aware resampling (train.py:267-278)
     multi_scale: bool = False            # bucketed size jitter (train.py:325-331)
+    # gradient accumulation: A microbatches of batch_size per optimizer step
+    # (reference nbs=64 rule, train.py:123-124). None/1 = off — on TPU the
+    # native route to a 64-image effective batch is a bigger sharded batch,
+    # not accumulation; pass accum_steps (or --accum auto) to reproduce the
+    # reference's memory-constrained behavior exactly.
+    accum_steps: Optional[int] = None
+    # multi-host SPMD: jax.distributed.initialize() + process_index()==0
+    # gating of csv/ckpt/print side effects (reference DDP env init + rank
+    # gates, train.py:567-573, :71/:210/:289/:355/:375)
+    distributed: bool = False
 
 
 def fit(cfg: FitConfig) -> dict:
+    if cfg.distributed and jax.process_count() == 1:
+        # multi-host launch: same SPMD program spans hosts over DCN
+        # (replaces torch.distributed.launch env contract, train.py:567-573)
+        jax.distributed.initialize()
+    # non-zero ranks run the identical SPMD program but write/print nothing
+    # (reference `rank in [-1, 0]` gates train.py:71/:210/:289/:355/:375)
+    is_main = jax.process_index() == 0
+    log = print if is_main else (lambda *a, **k: None)
+
     run_dir = increment_path(Path(cfg.project) / cfg.name)
     wdir = run_dir / "weights"
-    wdir.mkdir(parents=True, exist_ok=True)
-    print(colorstr("run dir: ") + str(run_dir))
+    if is_main:
+        wdir.mkdir(parents=True, exist_ok=True)
+    log(colorstr("run dir: ") + str(run_dir))
 
     # reproducibility artifacts (reference train.py:56-59 re-serializes hyp/opt)
     import dataclasses as _dc
     import json as _json
     import sys as _sys
     import yaml as _yaml
-    (run_dir / "hyp.yaml").write_text(_yaml.safe_dump(cfg.hyp.as_dict()))
-    opt_payload = {k: v for k, v in _dc.asdict(cfg).items()
-                   if k not in ("model_cfg", "data_cfg", "hyp")}
-    (run_dir / "opt.json").write_text(_json.dumps(opt_payload, indent=2, default=str))
-    if len(_sys.argv) > 1:
+    if is_main:
+        (run_dir / "hyp.yaml").write_text(_yaml.safe_dump(cfg.hyp.as_dict()))
+        opt_payload = {k: v for k, v in _dc.asdict(cfg).items()
+                       if k not in ("model_cfg", "data_cfg", "hyp")}
+        (run_dir / "opt.json").write_text(
+            _json.dumps(opt_payload, indent=2, default=str))
+    if is_main and len(_sys.argv) > 1:
         argv, skip = [], False
         for a in _sys.argv[1:]:
             if skip:
@@ -130,15 +152,18 @@ def fit(cfg: FitConfig) -> dict:
     # observability: TB facade + label-distribution plot at start
     # (reference SummaryWriter train.py:586, plot_labels train.py:222/plots.py:330)
     from icafusion_tpu.utils.loggers import Loggers
-    loggers = Loggers(run_dir)
+    loggers = Loggers(run_dir, enable_tb=is_main)
     names = list(cfg.data_cfg.names or [])
     try:
-        if any(len(l) for l in train_ds.labels):
+        if is_main and any(len(l) for l in train_ds.labels):
             from icafusion_tpu.utils.plots import plot_labels
             plot_labels(train_ds.labels, names, run_dir)
     except Exception as e:  # plotting must never kill training
-        print(f"plot_labels failed: {e}")
-    loader = PairedLoader(train_ds, batch_size=cfg.batch_size,
+        log(f"plot_labels failed: {e}")
+    # gradient accumulation: the loader yields A*B samples per optimizer step;
+    # the jitted step scans A microbatches of B (trainer.py make_train_step)
+    accum = max(int(cfg.accum_steps or 1), 1)
+    loader = PairedLoader(train_ds, batch_size=cfg.batch_size * accum,
                           max_targets=cfg.max_targets, seed=cfg.seed,
                           num_workers=cfg.workers,
                           image_weights=cfg.image_weights, class_weights=class_w)
@@ -156,7 +181,7 @@ def fit(cfg: FitConfig) -> dict:
                                                 thr=cfg.hyp.anchor_t)
         if changed:
             model_cfg = with_anchors(model_cfg, new_anchors)
-            print("autoanchor: updated model anchors")
+            log("autoanchor: updated model anchors")
 
     # --- model + trainer ---
     dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
@@ -164,7 +189,8 @@ def fit(cfg: FitConfig) -> dict:
     trainer = Trainer(model=model, hyp=cfg.hyp, epochs=cfg.epochs,
                       steps_per_epoch=loader.steps_per_epoch,
                       batch_size=cfg.batch_size, imgsz=cfg.imgsz,
-                      warmup_min_steps=cfg.warmup_min_steps)
+                      warmup_min_steps=cfg.warmup_min_steps,
+                      accum_steps=accum)
 
     sample = next(iter(loader.epoch(0)))
     state = trainer.init_state(jax.random.PRNGKey(cfg.seed),
@@ -179,7 +205,7 @@ def fit(cfg: FitConfig) -> dict:
         state = restore_train_state(ckpt, state)
         start_epoch = int(ckpt["meta"]["epoch"]) + 1
         best_fit = float(ckpt["meta"]["best_fitness"])
-        print(f"resumed from {cfg.resume} at epoch {start_epoch}")
+        log(f"resumed from {cfg.resume} at epoch {start_epoch}")
 
     # --- SPMD step over the data mesh ---
     mesh = make_mesh(cfg.n_devices)
@@ -209,7 +235,7 @@ def fit(cfg: FitConfig) -> dict:
     evaluator = Evaluator(model=model, nc=cfg.data_cfg.nc)
 
     results_csv = run_dir / "results.csv"
-    if not results_csv.exists():
+    if is_main and not results_csv.exists():
         with open(results_csv, "w", newline="") as f:
             csv.writer(f).writerow(RESULTS_HEADER)
 
@@ -231,13 +257,13 @@ def fit(cfg: FitConfig) -> dict:
         n_plotted = 0
         for batch in it:
             # first-3-batch training mosaics (reference train.py:361-365)
-            if epoch == start_epoch and n_plotted < 3:
+            if is_main and epoch == start_epoch and n_plotted < 3:
                 try:
                     from icafusion_tpu.utils.plots import plot_images
                     plot_images(batch["rgb"], batch["targets"], batch["mask"],
                                 run_dir / f"train_batch{n_plotted}.jpg", names)
                 except Exception as e:
-                    print(f"plot_images failed: {e}")
+                    log(f"plot_images failed: {e}")
                 n_plotted += 1
             nxt = put(batch)
             if pending is None:
@@ -269,11 +295,16 @@ def fit(cfg: FitConfig) -> dict:
                                         ev["map50"], ev["map"]]))
             if fit_val > best_fit:
                 best_fit = fit_val
-                save_checkpoint(wdir / "best.ckpt", state, epoch, best_fit)
-        if (epoch + 1) % cfg.save_every == 0 or epoch == cfg.epochs - 1:
+                if is_main:
+                    save_checkpoint(wdir / "best.ckpt", state, epoch, best_fit)
+        if is_main and ((epoch + 1) % cfg.save_every == 0
+                        or epoch == cfg.epochs - 1):
             save_checkpoint(wdir / "last.ckpt", state, epoch, best_fit)
 
         dt = time.time() - t0
+        if not is_main:
+            final = ev
+            continue
         with open(results_csv, "a", newline="") as f:
             csv.writer(f).writerow(
                 [epoch, *[f"{x:.5f}" for x in means[:3]],
@@ -286,20 +317,22 @@ def fit(cfg: FitConfig) -> dict:
              "metrics/precision": ev["mp"], "metrics/recall": ev["mr"],
              "metrics/mAP_0.5": ev["map50"], "metrics/mAP_0.5:0.95": ev["map"],
              "x/lr": lr_now}, epoch)
-        print(f"epoch {epoch}/{cfg.epochs - 1}: loss={means[3]:.4f} "
+        log(f"epoch {epoch}/{cfg.epochs - 1}: loss={means[3]:.4f} "
               f"mAP50={ev['map50']:.4f} best={best_fit:.4f} ({dt:.0f}s)")
         final = ev
 
-    strip_checkpoint(wdir / "best.ckpt" if (wdir / "best.ckpt").exists()
-                     else wdir / "last.ckpt", wdir / "stripped.ckpt")
+    if is_main:
+        strip_checkpoint(wdir / "best.ckpt" if (wdir / "best.ckpt").exists()
+                         else wdir / "last.ckpt", wdir / "stripped.ckpt")
     try:  # results.png + confusion png (reference plot_results plots.py:457)
         from icafusion_tpu.utils.plots import plot_confusion_matrix, plot_results
-        plot_results(results_csv)
-        if isinstance(final.get("cm"), np.ndarray):
+        if is_main:
+            plot_results(results_csv)
+        if is_main and isinstance(final.get("cm"), np.ndarray):
             plot_confusion_matrix(final["cm"], names,
                                   run_dir / "confusion_matrix.png")
     except Exception as e:
-        print(f"final plots failed: {e}")
+        log(f"final plots failed: {e}")
     loggers.close()
     final.pop("cm", None)
     final["best_fitness"] = best_fit
