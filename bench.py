@@ -100,7 +100,9 @@ def main():
 
     print(json.dumps({
         "metric": f"icafusion_{args.scale} paired 640x640 serving throughput "
-                  f"(two-stream fwd + decode + NMS, bf16, batch {args.batch})",
+                  f"(two-stream fwd + decode + NMS, bf16, batch {args.batch}); "
+                  "vs_baseline uses an ESTIMATED A100-FP16 ~90 paired fps "
+                  "(derived, not measured — see BENCH.md)",
         "value": round(fps, 1),
         "unit": "paired_frames/sec/chip",
         "vs_baseline": round(fps / A100_FP16_PAIRED_FPS_EST, 2),
@@ -150,10 +152,11 @@ def bench_train(args):
     print(json.dumps({
         "metric": f"icafusion_{args.scale} paired {args.imgsz} training step "
                   f"(fwd+bwd+loss+SGD+EMA, {'fp32' if args.fp32 else 'bf16'}, "
-                  f"batch {B}, device-resident inputs)",
+                  f"batch {B}, device-resident inputs); vs_baseline uses an "
+                  "ESTIMATED A100 ~30 img/s train rate (derived, not measured)",
         "value": round(ips, 1),
         "unit": "paired_images/sec/chip",
-        "vs_baseline": round(ips / 30.0, 2),   # ~30 img/s A100 train est. (bs8)
+        "vs_baseline": round(ips / 30.0, 2),
     }))
 
 

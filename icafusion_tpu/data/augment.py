@@ -142,6 +142,20 @@ def random_perspective_pair(img_rgb, img_ir, targets, rng: np.random.Generator,
     return img_rgb, img_ir, targets
 
 
+def _tile_span(center: int, extent: int, limit: int, after: bool):
+    """1-D placement of one mosaic tile against the center line.
+
+    after=False: the tile ENDS at the center (canvas [max(center-extent, 0),
+    center], source right/bottom-aligned). after=True: the tile STARTS at the
+    center (canvas [center, min(center+extent, limit)], source left/top-
+    aligned). Returns (canvas_lo, canvas_hi, src_lo, src_hi)."""
+    if after:
+        lo, hi = center, min(center + extent, limit)
+        return lo, hi, 0, hi - lo
+    lo, hi = max(center - extent, 0), center
+    return lo, hi, extent - (hi - lo), extent
+
+
 def mosaic_pair(load_fn, index, all_indices, img_size: int,
                 labels_getter, rng: np.random.Generator, hyp):
     """Paired 4-tile mosaic + joint perspective (datasets.py:1208-1309).
@@ -155,27 +169,17 @@ def mosaic_pair(load_fn, index, all_indices, img_size: int,
     xc = int(rng.uniform(s // 2, 2 * s - s // 2))
     indices = [index] + [all_indices[rng.integers(len(all_indices))] for _ in range(3)]
     labels4 = []
-    img4_rgb = img4_ir = None
+    img4_rgb = np.full((s * 2, s * 2, 3), 114, np.uint8)
+    img4_ir = np.full((s * 2, s * 2, 3), 114, np.uint8)
     for i, idx in enumerate(indices):
         img_rgb, img_ir = load_fn(idx)
         h, w = img_rgb.shape[:2]
-        if i == 0:
-            img4_rgb = np.full((s * 2, s * 2, 3), 114, np.uint8)
-            img4_ir = np.full((s * 2, s * 2, 3), 114, np.uint8)
-            x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
-            x1b, y1b, x2b, y2b = w - (x2a - x1a), h - (y2a - y1a), w, h
-        elif i == 1:
-            x1a, y1a, x2a, y2a = xc, max(yc - h, 0), min(xc + w, s * 2), yc
-            x1b, y1b, x2b, y2b = 0, h - (y2a - y1a), min(w, x2a - x1a), h
-        elif i == 2:
-            x1a, y1a, x2a, y2a = max(xc - w, 0), yc, xc, min(s * 2, yc + h)
-            x1b, y1b, x2b, y2b = w - (x2a - x1a), 0, w, min(y2a - y1a, h)
-        else:
-            x1a, y1a, x2a, y2a = xc, yc, min(xc + w, s * 2), min(s * 2, yc + h)
-            x1b, y1b, x2b, y2b = 0, 0, min(w, x2a - x1a), min(y2a - y1a, h)
-        img4_rgb[y1a:y2a, x1a:x2a] = img_rgb[y1b:y2b, x1b:x2b]
-        img4_ir[y1a:y2a, x1a:x2a] = img_ir[y1b:y2b, x1b:x2b]
-        padw, padh = x1a - x1b, y1a - y1b
+        # quadrant i: bit 0 = right of center, bit 1 = below center
+        cx0, cx1, sx0, sx1 = _tile_span(xc, w, 2 * s, after=bool(i & 1))
+        cy0, cy1, sy0, sy1 = _tile_span(yc, h, 2 * s, after=bool(i & 2))
+        img4_rgb[cy0:cy1, cx0:cx1] = img_rgb[sy0:sy1, sx0:sx1]
+        img4_ir[cy0:cy1, cx0:cx1] = img_ir[sy0:sy1, sx0:sx1]
+        padw, padh = cx0 - sx0, cy0 - sy0
 
         lab = labels_getter(idx).copy()
         if lab.size:
