@@ -75,3 +75,31 @@ def test_pallas_nms_matches_scan():
     np.testing.assert_array_equal(np.asarray(ok_p), np.asarray(ok_s))
     np.testing.assert_array_equal(np.asarray(keep_p)[np.asarray(ok_p)],
                                   np.asarray(keep_s)[np.asarray(ok_s)])
+
+
+@pytest.mark.parametrize("shape", [(2, 32, 20), (1, 16, 12)])
+def test_packed_conv_interpret(shape):
+    """Pixel-packed 3x3 conv (experimental, rejected for the model path —
+    see its docstring) must still match lax.conv + BN affine + SiLU exactly
+    modulo the bf16 weight storage."""
+    from icafusion_tpu.kernels.packed_conv import (pack_weights,
+                                                   packed_conv3x3_silu)
+
+    B, H, W = shape
+    C = 64
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    w = rng.standard_normal((3, 3, C, C)).astype(np.float32) * 0.1
+    s = rng.standard_normal(C).astype(np.float32) * 0.5 + 1.0
+    b = rng.standard_normal(C).astype(np.float32) * 0.1
+    # reference uses the same bf16-rounded folded weights the kernel stores
+    wf = np.asarray((w * s).astype(jnp.bfloat16), np.float32) / s
+    ref = jax.lax.conv_general_dilated(
+        x, jnp.asarray(wf), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) * s + b
+    ref = ref * jax.nn.sigmoid(ref)
+
+    w6, bias2 = pack_weights(w, s, b)
+    out = packed_conv3x3_silu(x, w6, bias2, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
