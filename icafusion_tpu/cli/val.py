@@ -35,6 +35,10 @@ def parse_args(argv=None):
                     help="TTA multi-scale/flip ensemble (test.py:128)")
     ap.add_argument("--save-json", action="store_true",
                     help="dump COCO-format detections json (test.py:185-194)")
+    ap.add_argument("--coco-gt", default=None,
+                    help="COCO annotations json: run the full AP/AR suite on "
+                         "the saved detections (test.py:329-352; implies "
+                         "--save-json)")
     return ap.parse_args(argv)
 
 
@@ -63,10 +67,11 @@ def main(argv=None):
                    augment=args.augment)
     save_dir = Path(args.save_dir)
     mr_dir = str(save_dir / "labels") if (args.save_txt or args.kaist_ann) else None
+    save_json = args.save_json or args.coco_gt is not None
     out = ev.run(variables, loader.val_batches(), args.img_size,
                  confusion=args.confusion, mr_txt_dir=mr_dir,
                  names=list(data_cfg.names),
-                 coco_json=str(save_dir / "detections.json") if args.save_json else None)
+                 coco_json=str(save_dir / "detections.json") if save_json else None)
 
     print(f"{'Class':>12} {'Images':>8} {'P':>8} {'R':>8} {'mAP50':>8} "
           f"{'mAP75':>8} {'mAP':>8}")
@@ -76,6 +81,13 @@ def main(argv=None):
         name = data_cfg.names[c] if c < len(data_cfg.names) else str(c)
         print(f"{name:>12} {out['seen']:>8} {d['p']:8.4f} {d['r']:8.4f} "
               f"{d['ap50']:8.4f} {'':8} {d['ap']:8.4f}")
+
+    if args.coco_gt:
+        from icafusion_tpu.eval.cocoeval import evaluate_files
+        print("\nEvaluating COCO AP/AR suite...")
+        stats, _ = evaluate_files(args.coco_gt,
+                                  str(save_dir / "detections.json"))
+        out["coco_map"], out["coco_map50"] = float(stats[0]), float(stats[1])
 
     if args.kaist_ann:
         from icafusion_tpu.eval.kaist import evaluate_kaist
