@@ -49,6 +49,11 @@ def load_model_for_inference(cfg, weights: str, nc=None, dtype=None):
 
     mc = resolve_model_config(cfg, nc=nc)
     model = build_model(mc, dtype=dtype or jnp.float32)
+    if not Path(weights).exists() and weights.endswith(".pt"):
+        # reference attempt_load() fetches missing release weights first
+        # (experimental.py:113-117 via google_utils.attempt_download)
+        from icafusion_tpu.utils.downloads import attempt_download
+        weights = str(attempt_download(weights))
     if weights.endswith(".pt"):
         import numpy as np
 

@@ -86,3 +86,49 @@ def test_checkpoint_roundtrip(tmp_path):
     assert v["params"]["m0"]["conv"]["kernel"].dtype == np.float32
     # strip drops the optimizer (smaller file)
     assert (tmp_path / "stripped.ckpt").stat().st_size < p.stat().st_size
+
+
+class TestDownloads:
+    """utils/downloads.py — google_utils.py:19-92 counterpart (no egress in
+    this environment: the url machinery is exercised through file:// URLs)."""
+
+    def test_local_passthrough(self, tmp_path):
+        from icafusion_tpu.utils.downloads import attempt_download
+        f = tmp_path / "w.msgpack"
+        f.write_bytes(b"x" * 10)
+        assert attempt_download(f) == f
+
+    def test_safe_download_file_url(self, tmp_path):
+        from icafusion_tpu.utils.downloads import safe_download
+        src = tmp_path / "src.bin"
+        src.write_bytes(b"y" * 2048)
+        dst = tmp_path / "dst.bin"
+        out = safe_download(src.as_uri(), dst, min_bytes=1024)
+        assert out.read_bytes() == src.read_bytes()
+
+    def test_safe_download_too_small_cleans_up(self, tmp_path):
+        import pytest
+
+        from icafusion_tpu.utils.downloads import DownloadError, safe_download
+        src = tmp_path / "src.bin"
+        src.write_bytes(b"tiny")
+        dst = tmp_path / "dst.bin"
+        with pytest.raises(DownloadError):
+            safe_download(src.as_uri(), dst, min_bytes=1024)
+        assert not dst.exists()
+
+    def test_release_url_fallback_table(self):
+        from icafusion_tpu.utils.downloads import github_release_url
+        url = github_release_url("yolov5l.pt", tag="v5.0",
+                                 assets=["yolov5l.pt"])
+        assert url == ("https://github.com/ultralytics/yolov5/releases/"
+                       "download/v5.0/yolov5l.pt")
+        assert github_release_url("nope.pt", tag="v5.0", assets=["a.pt"]) is None
+
+    def test_missing_unknown_asset_raises(self, tmp_path):
+        import pytest
+
+        from icafusion_tpu.utils.downloads import DownloadError, attempt_download
+        with pytest.raises(DownloadError, match="not a known release asset"):
+            attempt_download(tmp_path / "custom_weights.pt",
+                             repo="nonexistent/repo")
