@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--int8", action="store_true",
+                    help="serve with W8A8 post-training quantization "
+                         "(utils/quantize.py; measured ~1.2x end-to-end)")
     ap.add_argument("--train", action="store_true",
                     help="benchmark the training step instead of serving")
     args = ap.parse_args()
@@ -64,6 +67,16 @@ def main():
     variables = jax.jit(model.init, static_argnames=("train", "decode"))(
         {"params": rng}, rgb[:1], ir[:1], train=False, decode=False)
     print(f"init {time.time()-t0:.0f}s", file=sys.stderr)
+
+    mode = "bf16"
+    if args.int8:
+        from icafusion_tpu.utils.quantize import calibrate, quantize_variables
+        t0 = time.time()
+        calib = calibrate(model, variables, [(rgb[:4], ir[:4])])
+        variables = quantize_variables(variables, calib)
+        print(f"int8 calibration+quantize {time.time()-t0:.0f}s",
+              file=sys.stderr)
+        mode = "int8-W8A8"
 
     @jax.jit
     def serve(v, a, b):
@@ -100,7 +113,7 @@ def main():
 
     print(json.dumps({
         "metric": f"icafusion_{args.scale} paired 640x640 serving throughput "
-                  f"(two-stream fwd + decode + NMS, bf16, batch {args.batch}); "
+                  f"(two-stream fwd + decode + NMS, {mode}, batch {args.batch}); "
                   "vs_baseline uses an ESTIMATED A100-FP16 ~90 paired fps "
                   "(derived, not measured — see BENCH.md)",
         "value": round(fps, 1),

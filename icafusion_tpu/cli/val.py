@@ -35,6 +35,10 @@ def parse_args(argv=None):
                     help="TTA multi-scale/flip ensemble (test.py:128)")
     ap.add_argument("--save-json", action="store_true",
                     help="dump COCO-format detections json (test.py:185-194)")
+    ap.add_argument("--int8", action="store_true",
+                    help="serve with W8A8 post-training quantization, "
+                         "calibrated on the first val batches — reports the "
+                         "quantized model's metrics (utils/quantize.py)")
     ap.add_argument("--coco-gt", default=None,
                     help="COCO annotations json: run the full AP/AR suite on "
                          "the saved detections (test.py:329-352; implies "
@@ -61,6 +65,22 @@ def main(argv=None):
                                 hyp=load_hyp_config(), augment=False,
                                 nc=data_cfg.nc)
     loader = PairedLoader(ds, batch_size=args.batch_size, shuffle=False)
+
+    if args.int8:
+        import jax.numpy as jnp
+
+        from icafusion_tpu.utils.quantize import calibrate, quantize_variables
+        calib_batches = []
+        for batch in loader.val_batches():
+            # same normalization the Evaluator applies (evaluator.py:101-102)
+            calib_batches.append(
+                (jnp.asarray(batch["rgb"], jnp.float32) / 255.0,
+                 jnp.asarray(batch["ir"], jnp.float32) / 255.0))
+            if len(calib_batches) >= 2:
+                break
+        variables = quantize_variables(
+            variables, calibrate(model, variables, calib_batches))
+        print(f"int8: calibrated on {len(calib_batches)} batches")
 
     ev = Evaluator(model=model, nc=data_cfg.nc, conf_thres=args.conf_thres,
                    iou_thres=args.iou_thres, single_cls=args.single_cls,

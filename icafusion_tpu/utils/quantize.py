@@ -1,0 +1,89 @@
+"""Post-training W8A8 quantization for serving — a TPU-native capability the
+reference does not have (its export path mentions CoreML int8 only as a
+commented option, models/export.py:118).
+
+v5e's MXU runs int8 at 2x the bf16 peak; measured conv speedups including the
+requant epilogue are 1.5-1.8x (BENCH.md). The scheme keeps the graph intact:
+
+- per-Conv static symmetric quantization (zero-point 0): int8 weights with
+  per-output-channel scales, int8 activations with a per-tensor scale
+  calibrated from representative batches (absmax);
+- quantize/dequant happen INSIDE each Conv module (nn/layers.py Conv._int8_conv)
+  so Concat/Add/SPPF/attention/Detect all stay in bf16/f32 — no graph surgery,
+  the Detect head and fusion transformer keep full precision;
+- enabled purely by data: `quantize_variables` returns the variables dict with
+  an added "quant" collection; `model.apply` with those variables takes the
+  int8 path automatically (eval only — training never quantizes).
+
+Usage:
+    calib = calibrate(model, variables, [(rgb1, ir1), (rgb2, ir2), ...])
+    qvars = quantize_variables(variables, calib)
+    pred, _, _ = model.apply(qvars, rgb, ir, train=False, decode=True)
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def calibrate(model, variables, batches: Iterable[Tuple]) -> dict:
+    """Run forward passes with the 'calib' collection mutable, reducing each
+    Conv input's absmax over all batches. Returns the calib tree (numpy)."""
+    @jax.jit
+    def fwd(v, rgb, ir):
+        _, mut = model.apply(v, rgb, ir, train=False, decode=False,
+                             mutable=["calib"])
+        return mut["calib"]
+
+    acc: Optional[dict] = None
+    for rgb, ir in batches:
+        cal = jax.tree.map(np.asarray, fwd(variables, rgb, ir))
+        acc = cal if acc is None else jax.tree.map(np.maximum, acc, cal)
+    if acc is None:
+        raise ValueError("calibrate() needs at least one batch")
+    return acc
+
+
+def quantize_variables(variables: dict, calib: dict,
+                       min_scale: float = 1e-8) -> dict:
+    """Build the 'quant' collection from params + calibration absmaxes.
+
+    For every module path that has both a calibrated 'absmax' (sown by Conv)
+    and a 4D conv kernel child, emit {w8 int8 HWIO, s_w (cout,) f32,
+    s_in () f32}; grouped convs keep their feature_group_count in the int8
+    path."""
+    params = jax.tree.map(np.asarray, variables["params"])
+
+    def walk(p_node, c_node):
+        if not isinstance(p_node, dict) or not isinstance(c_node, dict):
+            return None
+        out = {}
+        for key, child in c_node.items():
+            if key == "absmax":
+                continue
+            sub = walk(p_node.get(key, {}), child)
+            if sub:
+                out[key] = sub
+        if "absmax" in c_node and "conv" in p_node and \
+                isinstance(p_node["conv"], dict) and \
+                p_node["conv"].get("kernel") is not None and \
+                np.ndim(p_node["conv"]["kernel"]) == 4:
+            w = np.asarray(p_node["conv"]["kernel"], np.float32)  # HWIO
+            s_w = np.maximum(np.abs(w).max(axis=(0, 1, 2)) / 127.0, min_scale)
+            w8 = np.clip(np.round(w / s_w), -127, 127).astype(np.int8)
+            absmax = np.float32(np.max(c_node["absmax"]))
+            s_in = max(float(absmax) / 127.0, min_scale)
+            out["w8"] = w8
+            out["s_w"] = s_w.astype(np.float32)
+            out["s_in"] = np.float32(s_in)
+        return out or None
+
+    quant = walk(params, calib)
+    if not quant:
+        raise ValueError("no quantizable convs found (empty calibration?)")
+    new = dict(variables)
+    new["quant"] = jax.tree.map(jax.numpy.asarray, quant)
+    return new

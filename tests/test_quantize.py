@@ -1,0 +1,123 @@
+"""W8A8 post-training quantization (utils/quantize.py + Conv._int8_conv).
+
+A capability beyond the reference (its export only comments CoreML int8,
+models/export.py:118). Mechanics are pinned against manual numpy math; the
+model-level test checks the int8 path is live end-to-end and its error stays
+in the expected PTQ range.
+"""
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from icafusion_tpu.nn.layers import Conv
+from icafusion_tpu.utils.quantize import calibrate, quantize_variables
+
+
+def _quant_ref(x, w, s_in):
+    """Manual numpy W8A8: symmetric per-out-channel weights, per-tensor input."""
+    s_w = np.maximum(np.abs(w).max(axis=(0, 1, 2)) / 127.0, 1e-8)
+    w8 = np.clip(np.round(w / s_w), -127, 127).astype(np.int8)
+    x8 = np.clip(np.round(x / s_in), -127, 127).astype(np.int8)
+    y = jax.lax.conv_general_dilated(
+        jnp.asarray(x8), jnp.asarray(w8), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    return np.asarray(y, np.float32) * (s_in * s_w)
+
+
+def test_conv_int8_mechanics_exact():
+    """Conv's int8 path == the manual quantized computation (before BN)."""
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 16, 16, 8)).astype(np.float32)
+    m = Conv(c1=8, c2=16, k=3, act=False, dtype=jnp.float32)
+    v = m.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x), train=False)
+    _, mut = m.apply(v, jnp.asarray(x), train=False, mutable=["calib"])
+    assert float(mut["calib"]["absmax"]) == pytest.approx(np.abs(x).max())
+    qv = quantize_variables(v, jax.tree.map(np.asarray, mut["calib"]))
+
+    w = np.asarray(v["params"]["conv"]["kernel"])
+    s_in = float(np.abs(x).max()) / 127.0
+    # BN at init is near-identity (mean 0, var 1, scale 1, bias 0) and
+    # act=False, so the module output is the dequantized conv scaled by the
+    # BN epsilon factor 1/sqrt(1+eps)
+    from icafusion_tpu.nn.layers import BN_EPS
+    ref = _quant_ref(x, w, s_in) / np.sqrt(1.0 + BN_EPS)
+    out = np.asarray(m.apply(qv, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)
+
+
+def test_calibration_reduces_absmax_over_batches():
+    m = Conv(c1=4, c2=4, k=1, dtype=jnp.float32)
+    x1 = jnp.ones((1, 8, 8, 4)) * 2.0
+    x2 = jnp.ones((1, 8, 8, 4)) * 5.0
+    v = m.init({"params": jax.random.PRNGKey(0)}, x1, train=False)
+
+    class _M:  # calibrate() expects model.apply(v, rgb, ir, ...)
+        @staticmethod
+        def apply(v, a, b, train, decode, mutable):
+            return m.apply(v, a, train=train, mutable=mutable)
+
+    cal = calibrate(_M, v, [(x1, x1), (x2, x2)])
+    assert float(cal["absmax"]) == pytest.approx(5.0)
+
+
+def test_model_int8_path_live_and_bounded():
+    """Quantized flagship-graph (tiny) forward: every Conv runs int8, and the
+    first stream layers' error stays in the small-percent PTQ range."""
+    import icafusion_tpu.nn.layers as L
+    from icafusion_tpu.models import build_model
+    from icafusion_tpu.models.zoo import tiny_icafusion_config
+
+    hits = []
+    orig = L.Conv._int8_conv
+
+    def spy(self, x, s, p):
+        hits.append(1)
+        return orig(self, x, s, p)
+
+    L.Conv._int8_conv = spy
+    try:
+        model = build_model(tiny_icafusion_config(nc=3), dtype=jnp.float32)
+        rng = jax.random.PRNGKey(0)
+        x = jax.random.uniform(rng, (1, 128, 128, 3))
+        x2 = jax.random.uniform(jax.random.PRNGKey(1), x.shape)
+        v = model.init({"params": rng}, x, x2, train=False, decode=False)
+        cal = calibrate(model, v, [(x, x2)])
+        qv = quantize_variables(v, cal)
+        n_convs = sum(1 for _ in jax.tree.leaves(cal))
+
+        hits.clear()
+        _, cf = model.apply(v, x, x2, train=False, decode=False, capture=(0, 1))
+        assert not hits  # fp path must not touch int8
+        _, cq = model.apply(qv, x, x2, train=False, decode=False, capture=(0, 1))
+        assert len(hits) == n_convs  # every calibrated conv ran int8
+        for i in (0, 1):
+            a, b = np.asarray(cf[i]), np.asarray(cq[i])
+            rel = np.abs(b - a).mean() / np.abs(a).mean()
+            assert 0 < rel < 0.05, f"layer {i} rel {rel}"
+    finally:
+        L.Conv._int8_conv = orig
+
+
+def test_train_path_never_quantizes():
+    from icafusion_tpu.models import build_model
+    from icafusion_tpu.models.zoo import tiny_icafusion_config
+    model = build_model(tiny_icafusion_config(nc=3), dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.uniform(rng, (1, 128, 128, 3))
+    v = model.init({"params": rng}, x, x, train=False, decode=False)
+    qv = quantize_variables(v, calibrate(model, v, [(x, x)]))
+    # train=True with quant present: falls back to the fp conv (and mutates
+    # batch_stats as usual)
+    rngs = {"dropout": jax.random.PRNGKey(7)}
+    out, _ = model.apply(qv, x, x, train=True, mutable=["batch_stats"],
+                         rngs=rngs)
+    ref, _ = model.apply(v, x, x, train=True, mutable=["batch_stats"],
+                         rngs=rngs)
+    for a, b in zip(jax.tree.leaves(out), jax.tree.leaves(ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -429,9 +429,11 @@ def run(n: int = 200, imgsz: int = 320, cfg_path: str = CFG_DEFAULT,
     log(f"torch square: mAP50={ref_sq['map50']:.5f} mAP={ref_sq['map']:.5f}")
 
     results["ours"] = {}
+    ours_by_tk = {}
     for tk in top_ks:
         ours = filter_degenerate(
             jax_detect(variables, model, pairs, imgsz, top_k=tk, batch=batch))
+        ours_by_tk[tk] = ours
         scored = score_reference(ours, gts)
         agree = box_agreement(torch_sq, ours)
         agree01 = box_agreement(torch_sq, ours, conf_cut=0.01)
@@ -448,6 +450,41 @@ def run(n: int = 200, imgsz: int = 320, cfg_path: str = CFG_DEFAULT,
     default = results["ours"][f"top_k={default_tk}"]
     results["scorer_delta_map50"] = (default["ours_scored"]["map50"]
                                      - default["ref_scored"]["map50"])
+
+    # int8 W8A8 PTQ sweep (utils/quantize.py): the quantized pipeline against
+    # the same GT — the quantization cost in acceptance-gate units
+    log("int8 PTQ sweep (W8A8, calibrated on 8 images)...")
+    import jax.numpy as jnp_
+
+    from icafusion_tpu.utils.quantize import calibrate as q_calibrate
+    from icafusion_tpu.utils.quantize import quantize_variables
+
+    def batchify_nhwc(idxs):
+        rgb_b = np.zeros((len(idxs), imgsz, imgsz, 3), np.float32)
+        ir_b = np.zeros((len(idxs), imgsz, imgsz, 3), np.float32)
+        for k, i in enumerate(idxs):
+            rgb_l, ir_l, _, _ = preprocess(*pairs[i], imgsz)
+            rgb_b[k] = rgb_l / 255.0
+            ir_b[k] = ir_l / 255.0
+        return jnp_.asarray(rgb_b), jnp_.asarray(ir_b)
+
+    qvars = quantize_variables(
+        variables,
+        q_calibrate(model, variables,
+                    [batchify_nhwc(list(range(min(8, len(pairs)))))]))
+    ours_q = filter_degenerate(
+        jax_detect(qvars, model, pairs, imgsz, top_k=default_tk, batch=batch))
+    q_scored = score_reference(ours_q, gts)
+    results["int8"] = {
+        "ours": q_scored,
+        "map50_delta_vs_torch": q_scored["map50"] - ref_sq["map50"],
+        "map50_delta_vs_fp_ours": (q_scored["map50"]
+                                   - default["ref_scored"]["map50"]),
+        "agreement_conf0.01_vs_fp_ours": box_agreement(
+            ours_by_tk[default_tk], ours_q, conf_cut=0.01)}
+    log(f"int8: mAP50={q_scored['map50']:.5f} "
+        f"delta_vs_fp={results['int8']['map50_delta_vs_fp_ours']:+.5f} "
+        f"match@0.01={results['int8']['agreement_conf0.01_vs_fp_ours']['match_rate']:.4f}")
 
     if rect_sweep:
         # self-contained sub-experiment at >=640px: the reference's fusion
@@ -664,6 +701,19 @@ def render_md(r: dict) -> str:
             f"torch merge mAP@50 {m['torch']['map50']:.5f} vs ours merge "
             f"{m['ours']['map50']:.5f} "
             f"(match@0.01 {m['agreement_conf0.01']['match_rate']:.4f}).",
+            ""]
+    if "int8" in r:
+        q = r["int8"]
+        a = q["agreement_conf0.01_vs_fp_ours"]
+        lines += [
+            "## int8 W8A8 PTQ (utils/quantize.py — serving mode, "
+            "~1.2x throughput)",
+            "",
+            f"quantized pipeline mAP@50 {q['ours']['map50']:.5f} "
+            f"(Δ vs fp ours {q['map50_delta_vs_fp_ours'] * 100:+.3f} pts, "
+            f"Δ vs torch {q['map50_delta_vs_torch'] * 100:+.3f} pts); "
+            f"box match@0.01 vs fp ours {a['match_rate']:.4f}, "
+            f"mean IoU {a['mean_iou']:.4f}.",
             ""]
     lines += ["## Reproduce", "",
               "```", "PYTHONPATH=/root/repo:$PYTHONPATH python "
