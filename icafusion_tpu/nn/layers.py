@@ -113,11 +113,12 @@ class Conv(nn.Module):
         else:
             if self.is_mutable_collection("calib"):
                 # PTQ calibration pass (utils/quantize.py): record the input's
-                # symmetric-range absmax for this conv
+                # per-channel symmetric-range absmax for this conv
                 self.sow("calib", "absmax",
-                         jnp.abs(x).max().astype(jnp.float32),
+                         jnp.abs(x).max(axis=(0, 1, 2)).astype(jnp.float32),
                          reduce_fn=jnp.maximum,
-                         init_fn=lambda: jnp.float32(0))
+                         init_fn=lambda: jnp.zeros((x.shape[-1],),
+                                                   jnp.float32))
             x = nn.Conv(self.c2, kernel_size=k, strides=s,
                         padding=[(p[0], p[0]), (p[1], p[1])],
                         feature_group_count=self.g, use_bias=False,
@@ -128,21 +129,24 @@ class Conv(nn.Module):
         return _act_fn(self.act)(x)
 
     def _int8_conv(self, x, s, p):
-        """W8A8 static-PTQ path (utils/quantize.py adds the 'quant' collection:
-        per-out-channel int8 weights + scales, per-tensor input scale). v5e
-        runs int8 convs at ~1.5-1.8x the bf16 rate (BENCH.md); symmetric
-        zero-point-0 quantization keeps SAME padding exact. BN + SiLU continue
-        in self.dtype on the dequantized output."""
+        """W8A8 static-PTQ path (utils/quantize.py adds the 'quant' collection).
+        Per-INPUT-channel activation scales are folded into the weights before
+        their own per-OUTPUT-channel quantization (x ~= x8*s_in[ci],
+        w*s_in ~= w8*s_w[co] => y ~= (x8 conv w8)*s_w), so dequantization is a
+        single per-out-channel multiply. v5e runs int8 convs at ~1.5-1.8x the
+        bf16 rate (BENCH.md); symmetric zero-point-0 quantization keeps SAME
+        padding exact. BN + SiLU continue in self.dtype on the dequantized
+        output."""
         w8 = self.get_variable("quant", "w8")
-        s_w = self.get_variable("quant", "s_w")      # (c2,) f32
-        s_in = self.get_variable("quant", "s_in")    # ()   f32
+        s_w = self.get_variable("quant", "s_w")      # (c2,) f32 (incl. s_in)
+        s_in = self.get_variable("quant", "s_in")    # (c1,) or () f32
         x8 = jnp.clip(jnp.round(x.astype(jnp.float32) / s_in),
                       -127, 127).astype(jnp.int8)
         y = jax.lax.conv_general_dilated(
             x8, w8, s, [(p[0], p[0]), (p[1], p[1])],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=self.g, preferred_element_type=jnp.int32)
-        return y.astype(self.dtype) * (s_in * s_w).astype(self.dtype)
+        return y.astype(self.dtype) * s_w.astype(self.dtype)
 
     def _stem_s2d(self, x):
         w = _Kernel((6, 6, 3, self.c2), name="conv")().astype(self.dtype)

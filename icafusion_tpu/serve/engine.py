@@ -63,6 +63,19 @@ class ServingEngine:
         z = np.zeros((B, S, S, 3), np.uint8)
         jax.block_until_ready(self._serve(self.variables, z, z))
 
+    def quantize(self, calib_pairs: Sequence) -> None:
+        """Switch to int8 W8A8 serving (utils/quantize.py; ~1.2x throughput on
+        v5e — BENCH.md). calib_pairs: (rgb, ir) uint8/float letterboxed batches
+        representative of production traffic."""
+        from icafusion_tpu.utils.quantize import calibrate, quantize_variables
+        batches = [(jnp.asarray(r, jnp.float32) / 255.0,
+                    jnp.asarray(i, jnp.float32) / 255.0)
+                   for r, i in calib_pairs]
+        qvars = quantize_variables(jax.device_get(self.variables),
+                                   calibrate(self.model, self.variables, batches))
+        repl = NamedSharding(self.mesh, P())
+        self.variables = jax.device_put(qvars, repl)
+
     def predict_arrays(self, rgb: np.ndarray, ir: np.ndarray,
                        orig_hw: Optional[Sequence] = None) -> List[np.ndarray]:
         """rgb/ir: (n, S, S, 3) uint8 letterboxed pairs (n <= batch_size). Returns

@@ -72,13 +72,21 @@ def quantize_variables(variables: dict, calib: dict,
                 p_node["conv"].get("kernel") is not None and \
                 np.ndim(p_node["conv"]["kernel"]) == 4:
             w = np.asarray(p_node["conv"]["kernel"], np.float32)  # HWIO
-            s_w = np.maximum(np.abs(w).max(axis=(0, 1, 2)) / 127.0, min_scale)
-            w8 = np.clip(np.round(w / s_w), -127, 127).astype(np.int8)
-            absmax = np.float32(np.max(c_node["absmax"]))
-            s_in = max(float(absmax) / 127.0, min_scale)
+            absmax = np.asarray(c_node["absmax"], np.float32).reshape(-1)
+            if absmax.shape[0] == w.shape[2]:
+                # per-input-channel activation scales, folded into the weights
+                s_in = np.maximum(absmax / 127.0, min_scale)
+            else:
+                # grouped conv (kernel ci = c1/g): per-tensor fallback
+                s_in = np.float32(max(float(absmax.max()) / 127.0, min_scale))
+            w_eff = w * np.reshape(s_in, (1, 1, -1, 1)) if np.ndim(s_in) \
+                else w * s_in
+            s_w = np.maximum(np.abs(w_eff).max(axis=(0, 1, 2)) / 127.0,
+                             min_scale)
+            w8 = np.clip(np.round(w_eff / s_w), -127, 127).astype(np.int8)
             out["w8"] = w8
             out["s_w"] = s_w.astype(np.float32)
-            out["s_in"] = np.float32(s_in)
+            out["s_in"] = np.asarray(s_in, np.float32)
         return out or None
 
     quant = walk(params, calib)

@@ -96,3 +96,22 @@ def test_fit_with_accumulation(tmp_path):
     from pathlib import Path
     rows = list(csv.DictReader(open(Path(result["run_dir"]) / "results.csv")))
     assert len(rows) == 1 and float(rows[0]["lobj"]) > 0
+
+
+def test_serving_engine_int8_quantized_over_8_devices(tiny_model):
+    """engine.quantize() switches to the W8A8 path; detections stay sane and
+    batch-sharded execution still works on the virtual mesh."""
+    from icafusion_tpu.serve.engine import ServingEngine
+    model, variables = tiny_model
+    eng = ServingEngine(model=model, variables=dict(variables), img_size=64,
+                        batch_size=8, n_devices=8, conf_thres=0.001)
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 255, (8, 64, 64, 3), dtype=np.uint8)
+    ir = rng.integers(0, 255, (8, 64, 64, 3), dtype=np.uint8)
+    fp_out = eng.predict_arrays(rgb, ir)
+    eng.quantize([(rgb, ir)])
+    assert "quant" in jax.tree_util.tree_structure(eng.variables).node_data()[1] \
+        or "quant" in eng.variables
+    q_out = eng.predict_arrays(rgb, ir)
+    assert len(q_out) == len(fp_out) == 8
+    assert all(o.ndim == 2 and o.shape[1] == 6 for o in q_out)

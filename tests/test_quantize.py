@@ -19,15 +19,17 @@ from icafusion_tpu.utils.quantize import calibrate, quantize_variables
 
 
 def _quant_ref(x, w, s_in):
-    """Manual numpy W8A8: symmetric per-out-channel weights, per-tensor input."""
-    s_w = np.maximum(np.abs(w).max(axis=(0, 1, 2)) / 127.0, 1e-8)
-    w8 = np.clip(np.round(w / s_w), -127, 127).astype(np.int8)
+    """Manual numpy W8A8: per-input-channel activation scales folded into the
+    weights, per-out-channel weight quantization."""
+    w_eff = w * np.reshape(s_in, (1, 1, -1, 1))
+    s_w = np.maximum(np.abs(w_eff).max(axis=(0, 1, 2)) / 127.0, 1e-8)
+    w8 = np.clip(np.round(w_eff / s_w), -127, 127).astype(np.int8)
     x8 = np.clip(np.round(x / s_in), -127, 127).astype(np.int8)
     y = jax.lax.conv_general_dilated(
         jnp.asarray(x8), jnp.asarray(w8), (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32)
-    return np.asarray(y, np.float32) * (s_in * s_w)
+    return np.asarray(y, np.float32) * s_w
 
 
 def test_conv_int8_mechanics_exact():
@@ -37,11 +39,12 @@ def test_conv_int8_mechanics_exact():
     m = Conv(c1=8, c2=16, k=3, act=False, dtype=jnp.float32)
     v = m.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x), train=False)
     _, mut = m.apply(v, jnp.asarray(x), train=False, mutable=["calib"])
-    assert float(mut["calib"]["absmax"]) == pytest.approx(np.abs(x).max())
+    np.testing.assert_allclose(np.asarray(mut["calib"]["absmax"]),
+                               np.abs(x).max(axis=(0, 1, 2)), rtol=1e-6)
     qv = quantize_variables(v, jax.tree.map(np.asarray, mut["calib"]))
 
     w = np.asarray(v["params"]["conv"]["kernel"])
-    s_in = float(np.abs(x).max()) / 127.0
+    s_in = np.abs(x).max(axis=(0, 1, 2)) / 127.0
     # BN at init is near-identity (mean 0, var 1, scale 1, bias 0) and
     # act=False, so the module output is the dequantized conv scaled by the
     # BN epsilon factor 1/sqrt(1+eps)
@@ -63,7 +66,7 @@ def test_calibration_reduces_absmax_over_batches():
             return m.apply(v, a, train=train, mutable=mutable)
 
     cal = calibrate(_M, v, [(x1, x1), (x2, x2)])
-    assert float(cal["absmax"]) == pytest.approx(5.0)
+    np.testing.assert_allclose(cal["absmax"], np.full(4, 5.0), rtol=1e-6)
 
 
 def test_model_int8_path_live_and_bounded():
