@@ -40,9 +40,13 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--fp32", action="store_true")
-    ap.add_argument("--int8", action="store_true",
+    ap.add_argument("--int8", dest="int8", action="store_true", default=True,
                     help="serve with W8A8 post-training quantization "
-                         "(utils/quantize.py; measured ~1.2x end-to-end)")
+                         "(default; utils/quantize.py — measured 1.23x "
+                         "end-to-end, trained-detector accuracy cost "
+                         "+0.001 pts mAP@50, INT8_ACCURACY.json)")
+    ap.add_argument("--bf16", dest="int8", action="store_false",
+                    help="serve bf16 (no quantization)")
     ap.add_argument("--train", action="store_true",
                     help="benchmark the training step instead of serving")
     args = ap.parse_args()

@@ -14,6 +14,7 @@ Each class cites the reference module it is behavior-compatible with.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Callable, Optional, Tuple, Union
 
@@ -303,11 +304,54 @@ class C3TR(nn.Module):
         return Conv(2 * c_, self.c2, 1, dtype=self.dtype, name="cv3")(y, train)
 
 
-def _max_pool_same(x, k: int):
-    """k x k max pool, stride 1, 'same' padding with -inf (torch MaxPool2d semantics)."""
+def _max_pool_same_impl(x, k: int):
     p = k // 2
     return nn.max_pool(x, window_shape=(k, k), strides=(1, 1),
                        padding=[(p, p), (p, p)])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _max_pool_same(x, k: int):
+    """k x k max pool, stride 1, 'same' padding with -inf (torch MaxPool2d semantics).
+
+    Custom VJP: XLA lowers the default max-pool gradient to select-and-scatter,
+    a sequential per-window op that costs ~4 ms/step on the flagship train step
+    (BENCH.md round-2 profile). The backward here is the tie-distributing mask
+    form — grad_x[j] = sum_{|d|<=p} g[j+d] * [x[j] == y[j+d]] — k*k shifted
+    elementwise terms that XLA fuses into one loop fusion. For continuous
+    activations ties are measure-zero, so distributing (vs torch's single
+    argmax winner) is numerically equivalent in practice.
+    """
+    return _max_pool_same_impl(x, k)
+
+
+def _max_pool_same_fwd(x, k: int):
+    y = _max_pool_same_impl(x, k)
+    return y, (x, y)
+
+
+def _max_pool_same_bwd(k: int, res, g):
+    x, y = res
+    p = k // 2
+    H, W = x.shape[1], x.shape[2]
+    neg = jnp.asarray(-jnp.inf, y.dtype)
+    # pad y with -inf (never equal to x) and g with 0, then accumulate the
+    # k*k shifted windows. y[j+d] for d in [-p, p]^2 <=> slices of the padded
+    # arrays starting at offset d+p.
+    yp = jnp.pad(y, ((0, 0), (p, p), (p, p), (0, 0)), constant_values=neg)
+    gp = jnp.pad(g, ((0, 0), (p, p), (p, p), (0, 0)))
+    grad = jnp.zeros_like(g)
+    for dy in range(k):
+        for dx in range(k):
+            ys = jax.lax.slice_in_dim(
+                jax.lax.slice_in_dim(yp, dy, dy + H, axis=1), dx, dx + W, axis=2)
+            gs = jax.lax.slice_in_dim(
+                jax.lax.slice_in_dim(gp, dy, dy + H, axis=1), dx, dx + W, axis=2)
+            grad = grad + jnp.where(x == ys, gs, jnp.zeros_like(gs))
+    return (grad,)
+
+
+_max_pool_same.defvjp(_max_pool_same_fwd, _max_pool_same_bwd)
 
 
 class SPP(nn.Module):

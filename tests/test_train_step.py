@@ -132,3 +132,21 @@ def test_grad_accumulation_consistency():
     state, metrics = step2(state, rgb, ir, t, m)
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.opt.step) == 1
+
+
+def test_max_pool_custom_vjp_matches_xla_gradient():
+    """SPPF's stride-1 max pool carries a custom VJP (tie-distributing mask
+    instead of XLA's select-and-scatter — layers.py). On continuous inputs the
+    gradient must equal the default VJP exactly, for every kernel the SPP/SPPF
+    family uses (5, 9, 13)."""
+    from icafusion_tpu.nn.layers import _max_pool_same, _max_pool_same_impl
+    rng = np.random.default_rng(7)
+    for k in (5, 9, 13):
+        x = jnp.asarray(rng.normal(size=(2, 12, 9, 8)).astype(np.float32))
+        ct = jnp.asarray(rng.normal(size=(2, 12, 9, 8)).astype(np.float32))
+        y1, vjp1 = jax.vjp(lambda a: _max_pool_same(a, k), x)
+        y2, vjp2 = jax.vjp(lambda a: _max_pool_same_impl(a, k), x)
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+        np.testing.assert_allclose(np.asarray(vjp1(ct)[0]),
+                                   np.asarray(vjp2(ct)[0]),
+                                   rtol=1e-6, atol=1e-6)
