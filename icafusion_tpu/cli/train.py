@@ -105,7 +105,11 @@ def main(argv=None):
         out = Path(args.project) / "hyp_evolved.yaml"
         out.parent.mkdir(parents=True, exist_ok=True)
         out.write_text(yaml.safe_dump(best.as_dict()))
-        print(f"evolve done: best hyp -> {out}")
+        # value-vs-fitness scatter per hyp (reference train.py:667 ->
+        # plots.py:378-400)
+        from icafusion_tpu.utils.plots import plot_evolution
+        png = plot_evolution(Path(args.project) / "evolve.csv")
+        print(f"evolve done: best hyp -> {out} (plot: {png})")
         return best
 
     result = fit(make_cfg(hyp))

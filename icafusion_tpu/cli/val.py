@@ -22,7 +22,15 @@ def parse_args(argv=None):
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--conf-thres", type=float, default=0.001)
     ap.add_argument("--iou-thres", type=float, default=0.5)
-    ap.add_argument("--task", default="val", choices=["val", "test"])
+    ap.add_argument("--task", default="val",
+                    choices=["val", "test", "speed", "study"],
+                    help="speed: conf 0.25/iou 0.45 throughput run "
+                         "(test.py:421-423); study: sweep image sizes, write "
+                         "study_*.txt + study.png (test.py:425-438)")
+    ap.add_argument("--study-sizes", default="256:1664:128",
+                    help="--task study size sweep as start:stop:step "
+                         "(reference: 256..1536+128 step 128). Each size is a "
+                         "fresh XLA compile — narrow the range to iterate")
     ap.add_argument("--save-txt", action="store_true",
                     help="write MR-format detection txts")
     ap.add_argument("--save-dir", default="runs/val/exp")
@@ -46,6 +54,46 @@ def parse_args(argv=None):
     return ap.parse_args(argv)
 
 
+def run_study(args, data_cfg, model, variables, rgb_dir: str, ir_dir: str):
+    """--task study: evaluate over a range of image sizes, write the
+    reference-layout study_*.txt (10 cols: P R mAP50 mAP lbox lobj lcls
+    t_inf t_nms t_total; test.py:425-438) and plot the speed/accuracy
+    frontier. NMS runs fused on-device here, so t_nms=0 and t_inf==t_total."""
+    from icafusion_tpu.config import load_hyp_config
+    from icafusion_tpu.data.datasets import PairedDetectionDataset
+    from icafusion_tpu.data.loader import PairedLoader
+    from icafusion_tpu.eval.evaluator import Evaluator
+    from icafusion_tpu.utils.plots import plot_study_txt
+
+    import numpy as np
+
+    start, stop, step = (int(v) for v in args.study_sizes.split(":"))
+    sizes = list(range(start, stop, step))
+    save_dir = Path(args.save_dir)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    ev = Evaluator(model=model, nc=data_cfg.nc, conf_thres=args.conf_thres,
+                   iou_thres=args.iou_thres, single_cls=args.single_cls)
+    rows = []
+    for s in sizes:
+        print(f"study point: imgsz={s} ...")
+        ds = PairedDetectionDataset(rgb_dir, ir_dir, img_size=s,
+                                    hyp=load_hyp_config(), augment=False,
+                                    nc=data_cfg.nc)
+        loader = PairedLoader(ds, batch_size=args.batch_size, shuffle=False)
+        out = ev.run(variables, loader.val_batches(), s)
+        t = out["t_total_ms"]
+        rows.append([out["mp"], out["mr"], out["map50"], out["map"],
+                     0.0, 0.0, 0.0, t, 0.0, t])
+        print(f"  mAP50={out['map50']:.4f} mAP={out['map']:.4f} "
+              f"{t:.2f} ms/img")
+    stem = f"study_{Path(args.data).stem}_{Path(args.weights).stem}"
+    txt = save_dir / f"{stem}.txt"
+    np.savetxt(txt, np.array(rows), fmt="%10.4g")
+    png = plot_study_txt(save_dir)
+    print(f"wrote {txt} and {png}")
+    return rows
+
+
 def main(argv=None):
     args = parse_args(argv)
     setup_jax()
@@ -58,8 +106,16 @@ def main(argv=None):
     mc, model, variables = load_model_for_inference(args.cfg, args.weights,
                                                     nc=data_cfg.nc)
     root = Path(data_cfg.path)
-    rgb = data_cfg.val_rgb if args.task == "val" else data_cfg.test_rgb
-    ir = data_cfg.val_ir if args.task == "val" else data_cfg.test_ir
+    rgb = data_cfg.test_rgb if args.task == "test" else data_cfg.val_rgb
+    ir = data_cfg.test_ir if args.task == "test" else data_cfg.val_ir
+    if args.task == "speed":
+        # throughput benchmark settings (test.py:421-423)
+        args.conf_thres, args.iou_thres = 0.25, 0.45
+        args.save_json = args.confusion = args.save_txt = False
+        args.coco_gt = args.kaist_ann = None
+    if args.task == "study":
+        return run_study(args, data_cfg, model, variables, str(root / rgb),
+                         str(root / ir))
     ds = PairedDetectionDataset(str(root / rgb), str(root / ir),
                                 img_size=args.img_size,
                                 hyp=load_hyp_config(), augment=False,
@@ -93,6 +149,10 @@ def main(argv=None):
                  names=list(data_cfg.names),
                  coco_json=str(save_dir / "detections.json") if save_json else None)
 
+    if args.task == "speed":
+        print(f"speed: {out['t_total_ms']:.2f} ms/img end-to-end "
+              f"(fwd+decode+NMS+D2H, batch {args.batch_size}, "
+              f"first/compile batch excluded)")
     print(f"{'Class':>12} {'Images':>8} {'P':>8} {'R':>8} {'mAP50':>8} "
           f"{'mAP75':>8} {'mAP':>8}")
     print(f"{'all':>12} {out['seen']:>8} {out['mp']:8.4f} {out['mr']:8.4f} "

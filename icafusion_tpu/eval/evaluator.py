@@ -17,6 +17,7 @@ batch runs as ONE jitted program (forward + decode + NMS on device) and only the
 from __future__ import annotations
 
 import dataclasses
+import time
 from pathlib import Path
 from typing import List, Optional
 
@@ -142,14 +143,20 @@ class Evaluator:
         seen = 0
         if self._data_sharding is not None:
             variables = jax.device_put(variables, self._repl_sharding)
+        t_infer, n_timed, batch_idx = 0.0, 0, 0
         for batch in val_batches:
             if self._data_sharding is not None:
                 rgb = jax.device_put(batch["rgb"], self._data_sharding)
                 ir = jax.device_put(batch["ir"], self._data_sharding)
             else:
                 rgb, ir = jnp.asarray(batch["rgb"]), jnp.asarray(batch["ir"])
+            t0 = time.perf_counter()
             dets = self._infer(variables, rgb, ir)
-            det_list = detections_to_numpy(dets)
+            det_list = detections_to_numpy(dets)  # forces device sync
+            if batch_idx > 0:  # first batch carries the compile — exclude it
+                t_infer += time.perf_counter() - t0
+                n_timed += batch["count"]
+            batch_idx += 1
             for si in range(batch["count"]):
                 pred = det_list[si]
                 labels = batch["labels"][si]
@@ -204,6 +211,10 @@ class Evaluator:
 
         out = summarize(stats, self.nc, plot_dir=plots_dir, names=names or ())
         out["seen"] = seen
+        # end-to-end device ms/img (fwd + decode + NMS + D2H), first batch
+        # (compile) excluded; the reference prints the analogous per-image
+        # speeds at test.py:315-317
+        out["t_total_ms"] = (t_infer / n_timed * 1e3) if n_timed else 0.0
         if cm is not None:
             out["cm"] = cm.matrix
         if coco_json is not None:

@@ -184,6 +184,13 @@ MODULE_BUILDERS = {
                                                       name=name),
     "SE_Block": lambda a, dt, name: layers.SE_Block(*a, dtype=dt, name=name),
     "CBAM": lambda a, dt, name: layers.CBAM(*a, dtype=dt, name=name),
+    # standalone CBAM gates (common.py:916-957: Channel_Attention(in_channels,
+    # reduction_ratio), Spatial_Attention(kernel_size)); available to YAML like
+    # SE_Block/CBAM even though no shipped config references them
+    "Channel_Attention": lambda a, dt, name: layers.ChannelAttention(
+        *a, dtype=dt, name=name),
+    "Spatial_Attention": lambda a, dt, name: layers.SpatialAttention(
+        *a, dtype=dt, name=name),
     "Classify": lambda a, dt, name: layers.Classify(*a, dtype=dt, name=name),
     # fusion family
     "Add": lambda a, dt, name: fusion.Add(c2=a[0] if a else 0, name=name),

@@ -208,3 +208,62 @@ def plot_mr_fppi(fppi, missrate, save_path, label=""):
         ax.legend()
     fig.savefig(save_path, dpi=150)
     plt.close(fig)
+
+
+def plot_study_txt(study_dir=".", x=None, save_path=None):
+    """Speed-vs-accuracy frontier from `study_*.txt` files written by
+    `cli/val.py --task study` (reference plots.py:298-326, test.py:425-438).
+
+    Each file holds one row per image size with 10 columns:
+    [P, R, mAP@.5, mAP@.5:.95, lbox, lobj, lcls, t_inf, t_nms, t_total] —
+    the reference's layout, so files from either framework plot identically.
+    """
+    study_dir = Path(study_dir)
+    files = sorted(study_dir.glob("study_*.txt"))
+    if not files:
+        return None
+    fig, ax = plt.subplots(1, 1, figsize=(8, 4), tight_layout=True)
+    for f in files:
+        y = np.loadtxt(f, dtype=np.float32,
+                       usecols=[0, 1, 2, 3, 7, 8, 9], ndmin=2).T
+        j = int(y[3].argmax()) + 1
+        ax.plot(y[6, :j], y[3, :j] * 100, ".-", linewidth=2, markersize=8,
+                label=f.stem.replace("study_", ""))
+    ax.grid(alpha=0.2)
+    ax.set_xlabel("speed (ms/img)")
+    ax.set_ylabel("mAP@.5:.95 (%)")
+    ax.legend(loc="lower right")
+    save_path = save_path or study_dir / "study.png"
+    fig.savefig(save_path, dpi=300)
+    plt.close(fig)
+    return str(save_path)
+
+
+def plot_evolution(evolve_csv, save_path=None):
+    """Per-hyperparameter scatter of value vs fitness over an evolve log
+    (reference plots.py:378-400 over evolve.txt; ours is train/evolve.py's
+    evolve.csv: header `fitness,<hyp keys...>`). Marks the best run's value
+    in each panel."""
+    evolve_csv = Path(evolve_csv)
+    header = evolve_csv.read_text().splitlines()[0].split(",")
+    keys = header[1:]
+    x = np.loadtxt(evolve_csv, delimiter=",", skiprows=1, ndmin=2)
+    if not len(x):
+        return None
+    f = x[:, 0]
+    ncols = 5
+    nrows = math.ceil(len(keys) / ncols)
+    fig = plt.figure(figsize=(10, 2 * nrows), tight_layout=True)
+    for i, k in enumerate(keys):
+        y = x[:, i + 1]
+        mu = y[f.argmax()]
+        plt.subplot(nrows, ncols, i + 1)
+        plt.scatter(y, f, c=f, cmap="viridis", alpha=0.8, edgecolors="none")
+        plt.plot(mu, f.max(), "k+", markersize=15)
+        plt.title(f"{k} = {mu:.3g}", fontdict={"size": 9})
+        if i % ncols != 0:
+            plt.yticks([])
+    save_path = save_path or evolve_csv.with_suffix(".png")
+    fig.savefig(save_path, dpi=200)
+    plt.close(fig)
+    return str(save_path)

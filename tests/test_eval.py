@@ -114,3 +114,33 @@ def test_evaluator_no_predictions():
     ev = Evaluator(model=StubModel(pred), nc=3)
     out = ev.run(None, [_val_batch(img_size, 1, 320, 320, labels)], img_size)
     assert out["map50"] == 0.0
+
+def test_evaluator_reports_timing():
+    """t_total_ms: end-to-end ms/img with the first (compile) batch excluded."""
+    img_size = 320
+    labels = np.array([[0, 0.5, 0.5, 0.25, 0.25]], np.float32)
+    pred = np.zeros((8, 8), np.float32)
+    pred[0] = [160, 160, 80, 80, 0.9, 0.99, 0.005, 0.005]
+    ev = Evaluator(model=StubModel(pred), nc=3)
+    batches = [_val_batch(img_size, 2, img_size, img_size, labels)
+               for _ in range(3)]
+    out = ev.run(None, batches, img_size)
+    assert out["t_total_ms"] > 0.0
+    # single batch -> all time is compile time, excluded
+    out1 = ev.run(None, batches[:1], img_size)
+    assert out1["t_total_ms"] == 0.0
+
+
+def test_plot_study_txt_and_evolution(tmp_path):
+    """plots for --task study output and the evolve log (plots.py:298-400)."""
+    from icafusion_tpu.utils.plots import plot_evolution, plot_study_txt
+    rows = np.array([[0.9, 0.8, 0.85, 0.55, 0, 0, 0, 4.0, 0.0, 4.0],
+                     [0.92, 0.82, 0.88, 0.60, 0, 0, 0, 9.0, 0.0, 9.0]])
+    np.savetxt(tmp_path / "study_FLIR_best.txt", rows, fmt="%10.4g")
+    png = plot_study_txt(tmp_path)
+    assert png and (tmp_path / "study.png").exists()
+
+    (tmp_path / "evolve.csv").write_text(
+        "fitness,lr0,momentum\n0.5,0.01,0.9\n0.7,0.02,0.95\n0.6,0.015,0.93\n")
+    png2 = plot_evolution(tmp_path / "evolve.csv")
+    assert png2 and (tmp_path / "evolve.png").exists()
