@@ -50,6 +50,8 @@ def parse_args(argv=None):
     ap.add_argument("--nosave", action="store_true")
     ap.add_argument("--augment", action="store_true",
                     help="TTA multi-scale/flip ensemble")
+    ap.add_argument("--max-frames", type=int, default=0,
+                    help="stream mode: stop after N frames (0 = run forever)")
     return ap.parse_args(argv)
 
 
@@ -114,6 +116,73 @@ def detect_videos(args, model, variables, names):
         print(f"average: {(n - 1) / t_total:.1f} paired FPS")
 
 
+def _is_stream(src: str) -> bool:
+    """Webcam index or network stream URL (reference detect_twostream.py:51-54
+    routes these to LoadStreams; here BOTH modalities are wired, not just
+    stream 1)."""
+    s = str(src)
+    return s.isnumeric() or s.lower().startswith(("rtsp://", "rtmp://",
+                                                  "http://", "https://"))
+
+
+def detect_streams(args, model, variables, names):
+    """Live paired-stream inference (LoadStreams counterpart,
+    datasets.py:310-388): threaded latest-frame readers per modality pair,
+    annotated jpg of the most recent frame per stream, FPS report."""
+    import cv2
+    import jax.numpy as jnp
+    import time as _time
+
+    from icafusion_tpu.data.streams import LoadPairedStreams
+    from icafusion_tpu.eval.evaluator import scale_coords_np
+    from icafusion_tpu.ops.nms import detections_to_numpy, non_max_suppression
+    import jax
+
+    S = args.img_size
+    save_dir = Path(args.save_dir)
+    save_dir.mkdir(parents=True, exist_ok=True)
+
+    @jax.jit
+    def infer(v, rgb, ir):
+        rgb = rgb.astype(jnp.float32) / 255.0
+        ir = ir.astype(jnp.float32) / 255.0
+        pred, _, _ = model.apply(v, rgb, ir, train=False, decode=True)
+        return non_max_suppression(pred, conf_thres=args.conf_thres,
+                                   iou_thres=args.iou_thres, top_k=1024)
+
+    src = LoadPairedStreams([args.source1], [args.source2], img_size=S)
+    n, t_total = 0, 0.0
+    try:
+        while args.max_frames <= 0 or n < args.max_frames:
+            frames = src.read()
+            if frames[0] is None:
+                _time.sleep(0.005)
+                continue
+            rgb_l, ir_l, im0, _ = frames[0]
+            t0 = _time.time()
+            dets = infer(variables, jnp.asarray(rgb_l[None]),
+                         jnp.asarray(ir_l[None]))
+            pred = detections_to_numpy(dets)[0]
+            if n > 0:
+                t_total += _time.time() - t0
+            h0, w0 = im0.shape[:2]
+            if len(pred):
+                pred[:, :4] = scale_coords_np((S, S), pred[:, :4], (h0, w0))
+            if not args.nosave:
+                frame = im0[:, :, ::-1].copy()
+                for x1, y1, x2, y2, conf, cls in pred:
+                    plot_one_box(frame, (x1, y1, x2, y2),
+                                 f"{names[int(cls)]} {conf:.2f}",
+                                 COLORS[int(cls) % len(COLORS)])
+                cv2.imwrite(str(save_dir / "stream0_last.jpg"), frame)
+            n += 1
+    finally:
+        src.close()
+    if n > 1:
+        print(f"stream: {n} frames, average {(n - 1) / t_total:.1f} paired FPS")
+    return n
+
+
 def main(argv=None):
     args = parse_args(argv)
     setup_jax()
@@ -128,6 +197,9 @@ def main(argv=None):
 
     mc, model, variables = load_model_for_inference(args.cfg, args.weights)
 
+    if _is_stream(args.source1):
+        names = args.names or [str(i) for i in range(mc.nc)]
+        return detect_streams(args, model, variables, names)
     if str(args.source1).lower().endswith(VIDEO_FORMATS):
         names = args.names or [str(i) for i in range(mc.nc)]
         return detect_videos(args, model, variables, names)

@@ -123,3 +123,43 @@ def test_hub_factory():
         model.apply, static_argnames=("train", "decode"))(
         variables, x, x, train=False, decode=True)
     assert pred.shape[-1] == 8
+
+
+def test_detect_streams_live_loop(tmp_path):
+    """detect CLI stream branch: LoadPairedStreams threaded readers feed the
+    jitted two-stream inference loop; bounded by --max-frames; writes the
+    annotated latest frame. Uses mp4 files as cv2 'streams' (same capture API
+    as webcam/RTSP)."""
+    import cv2
+    import jax.numpy as jnp
+
+    from icafusion_tpu.cli.detect import detect_streams, _is_stream, parse_args
+    from icafusion_tpu.models import build_model
+    from icafusion_tpu.models.zoo import tiny_icafusion_config
+
+    assert _is_stream("0") and _is_stream("rtsp://cam/1")
+    assert not _is_stream("folder/visible") and not _is_stream("a.mp4")
+
+    paths = []
+    for name in ("s1.mp4", "s2.mp4"):
+        p = str(tmp_path / name)
+        w = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"), 10, (128, 96))
+        for i in range(30):
+            w.write(np.full((96, 128, 3), 30 + i * 5, np.uint8))
+        w.release()
+        paths.append(p)
+
+    mc = tiny_icafusion_config(nc=3)
+    model = build_model(mc, dtype=jnp.float32)
+    import jax
+    variables = jax.jit(model.init, static_argnames=("train", "decode"))(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)),
+        train=False, decode=False)
+    args = parse_args(["--weights", "x", "--cfg", "zoo:tiny",
+                       "--source1", paths[0], "--source2", paths[1],
+                       "--img-size", "64", "--max-frames", "3",
+                       "--save-dir", str(tmp_path / "out")])
+    n = detect_streams(args, model, variables, ["a", "b", "c"])
+    assert n == 3
+    assert (tmp_path / "out" / "stream0_last.jpg").exists()
