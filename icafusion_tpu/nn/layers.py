@@ -318,9 +318,12 @@ def _max_pool_same(x, k: int):
     a sequential per-window op that costs ~4 ms/step on the flagship train step
     (BENCH.md round-2 profile). The backward here is the tie-distributing mask
     form — grad_x[j] = sum_{|d|<=p} g[j+d] * [x[j] == y[j+d]] — k*k shifted
-    elementwise terms that XLA fuses into one loop fusion. For continuous
-    activations ties are measure-zero, so distributing (vs torch's single
-    argmax winner) is numerically equivalent in practice.
+    elementwise terms that XLA fuses into one loop fusion. Tie semantics:
+    positions tying for a window's max each receive the window's full
+    gradient (torch/XLA route it to a single winner). In f32 ties are
+    measure-zero (gradient bit-exact vs XLA — tests/test_train_step.py); in
+    bf16 rounding makes occasional ties, a train-only subgradient deviation
+    measured immaterial (same loss trajectory, BENCH.md).
     """
     return _max_pool_same_impl(x, k)
 
