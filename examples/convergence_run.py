@@ -61,10 +61,13 @@ def main():
     ap.add_argument("--n", type=int, default=256)
     ap.add_argument("--workdir", default="runs/convergence")
     ap.add_argument("--eval-every", type=int, default=2)
+    ap.add_argument("--scale", default="tiny",
+                    help="'tiny' or a yolov5 scale letter (n/s/m/l) for the "
+                         "real Transfusion family")
     args = ap.parse_args()
 
     from icafusion_tpu.config import DataConfig, load_hyp_config
-    from icafusion_tpu.models.zoo import tiny_icafusion_config
+    from icafusion_tpu.models.zoo import icafusion_config, tiny_icafusion_config
     from icafusion_tpu.train.fit import FitConfig, fit
 
     work = Path(args.workdir)
@@ -79,8 +82,10 @@ def main():
                           train_rgb="visible/train", val_rgb="visible/val",
                           train_ir="infrared/train", val_ir="infrared/val")
     hyp = load_hyp_config(None).replace(mosaic=0.5, warmup_epochs=2.0)
+    mc = (tiny_icafusion_config(nc=3) if args.scale == "tiny"
+          else icafusion_config(args.scale, nc=3, fusion="tfb"))
     result = fit(FitConfig(
-        model_cfg=tiny_icafusion_config(nc=3), data_cfg=data_cfg, hyp=hyp,
+        model_cfg=mc, data_cfg=data_cfg, hyp=hyp,
         epochs=args.epochs, batch_size=args.batch, imgsz=args.imgsz,
         project=str(work / "runs"), name="exp", eval_every=args.eval_every,
         warmup_min_steps=50, max_targets=32, workers=4))
