@@ -158,3 +158,73 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     sd = model.float().state_dict() if hasattr(model, "state_dict") else model
     return {k: v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
             for k, v in sd.items()}
+
+
+# reference parameters that exist but are dead in its forward pass
+# (yolo_test.py graphs never call them): CrossTransformerBlock's
+# ln_input/ln_output/LN1 and its third unused `mlp` (common.py:701-724),
+# plus torch bookkeeping buffers.
+_REF_DEAD_KEY = re.compile(
+    r"(ln_input|ln_output|\.LN1\.|crosstransformer\.\d+\.mlp\.)|"
+    r"num_batches_tracked$|anchors$|anchor_grid$")
+
+
+def _to_torch_layout(v: np.ndarray, leaf: str) -> np.ndarray:
+    """Inverse of _fetch's layout mapping (flax -> torch)."""
+    v = np.asarray(v, np.float32)
+    if leaf == "kernel":
+        if v.ndim == 4:          # HWIO -> OIHW
+            v = v.transpose(3, 2, 0, 1)
+        elif v.ndim == 2:        # (in,out) -> (out,in)
+            v = v.T
+    return v
+
+
+def reverse_convert(variables, like: Dict[str, np.ndarray] = None
+                    ) -> Dict[str, np.ndarray]:
+    """Inverse of convert_state_dict: flax variables -> reference-named torch
+    state_dict (numpy arrays, OIHW conv / (out,in) linear layouts).
+
+    Lets TPU-trained checkpoints flow back into the reference stack — e.g.
+    `Model(cfg).load_state_dict(...)` there, then its export.py TorchScript/
+    ONNX/CoreML paths (models/export.py:66-124) or test.py. `like`: optional
+    template state_dict (e.g. from a freshly built reference model) used to
+    reshape entries whose torch shape is not derivable from the flax leaf
+    (e.g. scalar gains stored as (1,) tensors) and to verify key coverage.
+    """
+    import jax.tree_util as jtu
+
+    sd: Dict[str, np.ndarray] = {}
+    for collection in ("params", "batch_stats"):
+        tree = variables.get(collection)
+        if not tree:
+            continue
+        leaves, _ = jtu.tree_flatten_with_path(tree)
+        for path, leaf in leaves:
+            toks = tuple(p.key if hasattr(p, "key") else str(p) for p in path)
+            leaf = np.asarray(leaf, np.float32)
+            if toks[-1] == "coefficients":
+                prefix = _translate(toks[:-1] + ("x",)).rsplit(".", 1)[0]
+                for k in range(8):
+                    sd[f"{prefix}.coefficient{k + 1}.bias"] = \
+                        leaf[k].reshape(1).copy()
+                continue
+            sd[_translate(toks)] = _to_torch_layout(leaf, toks[-1])
+    if like is not None:
+        missing = []
+        for k, tmpl in like.items():
+            if k in sd:
+                if sd[k].shape != tuple(np.shape(tmpl)):
+                    sd[k] = sd[k].reshape(np.shape(tmpl))
+            elif _REF_DEAD_KEY.search(k):
+                # parameters the reference allocates but never touches in its
+                # forward (CTB ln_input/ln_output/LN1 + the third unused mlp,
+                # common.py:701-724; torch bookkeeping buffers): copy from the
+                # template so strict load_state_dict round-trips
+                sd[k] = np.asarray(tmpl, np.float32).copy()
+            else:
+                missing.append(k)
+        if missing:
+            raise KeyError(f"reverse_convert did not produce {missing[:5]} "
+                           f"(+{max(0, len(missing) - 5)} more)")
+    return sd

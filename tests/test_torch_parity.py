@@ -134,3 +134,47 @@ def test_stream_remap(ref_model):
     assert "model.10.conv.weight" in remapped
     np.testing.assert_array_equal(remapped["model.10.conv.weight"],
                                   remapped["model.0.conv.weight"])
+
+
+@pytest.mark.slow
+def test_reverse_convert_round_trip(ref_model):
+    """reverse_convert (ours -> reference state_dict) is the exact inverse of
+    convert_state_dict on the real reference model: every live key round-trips
+    bit-exact, so TPU-trained checkpoints can flow into the reference stack
+    (load_state_dict -> its export.py TorchScript/ONNX/CoreML paths)."""
+    import jax
+    import jax.numpy as jnp
+
+    from icafusion_tpu.config import load_model_config
+    from icafusion_tpu.models import build_model
+    from icafusion_tpu.utils.torch_convert import (convert_state_dict,
+                                                   reverse_convert)
+
+    sd0 = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    cfg = load_model_config(
+        f"{REF}/models/transformer/yolov5n_Transfusion_kaist.yaml")
+    model = build_model(cfg)
+    x = jnp.zeros((1, 320, 320, 3), jnp.float32)
+    variables = jax.jit(model.init, static_argnames=("train", "decode"))(
+        {"params": jax.random.PRNGKey(0)}, x, x, train=False, decode=False)
+    variables, _ = convert_state_dict(sd0, dict(variables))
+
+    sd1 = reverse_convert(variables, like=sd0)
+    import re
+    dead = re.compile(r"(ln_input|ln_output|\.LN1\.|\.mlp\.)|"
+                      r"num_batches_tracked|anchors|anchor_grid")
+    n = 0
+    for k, v in sd0.items():
+        if dead.search(k) or k not in sd1:
+            continue
+        np.testing.assert_array_equal(sd1[k], np.asarray(v, np.float32),
+                                      err_msg=k)
+        n += 1
+    assert n > 300  # the full live parameter set round-tripped
+
+    # and the torch side actually accepts it
+    mixed = dict(sd0)
+    mixed.update({k: torch.from_numpy(np.ascontiguousarray(v))
+                  for k, v in sd1.items()})
+    ref_model.load_state_dict({k: torch.as_tensor(v) for k, v in mixed.items()},
+                              strict=False)
