@@ -9,6 +9,9 @@ TPU-native equivalents are:
   reference's ONNX opset-12 export, models/export.py:85-107; tf2onnx is not in
   this image, so the ONNX step is documented, not run)
 - stripped msgpack weights (EMA, fp16) for this framework's own runtime
+- reference-format torch .pt via `tools/export_torch.py` (reverse weight
+  converter): from there the reference's own export.py covers TorchScript/
+  ONNX/CoreML exactly
 
     python -m icafusion_tpu.cli.export --weights best.ckpt --cfg zoo:tfb:s \
         --img-size 640 --batch 1 --include stablehlo savedmodel weights [--nms]
