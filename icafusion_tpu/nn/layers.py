@@ -316,14 +316,15 @@ def _max_pool_same(x, k: int):
 
     Custom VJP: XLA lowers the default max-pool gradient to select-and-scatter,
     a sequential per-window op that costs ~4 ms/step on the flagship train step
-    (BENCH.md round-2 profile). The backward here is the tie-distributing mask
-    form — grad_x[j] = sum_{|d|<=p} g[j+d] * [x[j] == y[j+d]] — k*k shifted
-    elementwise terms that XLA fuses into one loop fusion. Tie semantics:
-    positions tying for a window's max each receive the window's full
-    gradient (torch/XLA route it to a single winner). In f32 ties are
-    measure-zero (gradient bit-exact vs XLA — tests/test_train_step.py); in
-    bf16 rounding makes occasional ties, a train-only subgradient deviation
-    measured immaterial (same loss trajectory, BENCH.md).
+    (BENCH.md round-2 profile). The backward here routes each window's gradient
+    to the FIRST (row-major) position attaining the window max — the same
+    winner select-and-scatter and torch MaxPool2d pick, so the gradient is
+    exactly theirs even under ties (which are systematic in chained SPPF
+    pools: the middle pool's input already holds duplicated maxima). Per
+    intra-window offset r: m_r[w] = (x[w+r-p] == y[w]) & not-yet-assigned[w],
+    scattered back by a static-slice add — 3*k*k elementwise terms XLA fuses
+    into loop fusions (tests/test_train_step.py asserts equality vs the
+    default VJP on tied integer data and on chained pools).
     """
     return _max_pool_same_impl(x, k)
 
@@ -337,21 +338,28 @@ def _max_pool_same_bwd(k: int, res, g):
     x, y = res
     p = k // 2
     H, W = x.shape[1], x.shape[2]
-    neg = jnp.asarray(-jnp.inf, y.dtype)
-    # pad y with -inf (never equal to x) and g with 0, then accumulate the
-    # k*k shifted windows. y[j+d] for d in [-p, p]^2 <=> slices of the padded
-    # arrays starting at offset d+p.
-    yp = jnp.pad(y, ((0, 0), (p, p), (p, p), (0, 0)), constant_values=neg)
-    gp = jnp.pad(g, ((0, 0), (p, p), (p, p), (0, 0)))
-    grad = jnp.zeros_like(g)
-    for dy in range(k):
-        for dx in range(k):
-            ys = jax.lax.slice_in_dim(
-                jax.lax.slice_in_dim(yp, dy, dy + H, axis=1), dx, dx + W, axis=2)
-            gs = jax.lax.slice_in_dim(
-                jax.lax.slice_in_dim(gp, dy, dy + H, axis=1), dx, dx + W, axis=2)
-            grad = grad + jnp.where(x == ys, gs, jnp.zeros_like(gs))
-    return (grad,)
+    neg = jnp.asarray(-jnp.inf, x.dtype)
+    # x[w + r - p] for every output w and intra-window offset r in [0,k)^2 is
+    # a static slice of x padded by p with -inf (never equal to a window max).
+    xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), constant_values=neg)
+    canvas = jnp.zeros(xp.shape, g.dtype)
+    remaining = jnp.ones(y.shape, bool)
+    zero = jnp.zeros_like(g)
+    for ry in range(k):
+        for rx in range(k):
+            xs = jax.lax.slice_in_dim(
+                jax.lax.slice_in_dim(xp, ry, ry + H, axis=1), rx, rx + W, axis=2)
+            m = (xs == y) & remaining
+            remaining = remaining & ~m
+            contrib = jnp.where(m, g, zero)
+            canvas = jax.lax.dynamic_update_slice(
+                canvas,
+                jax.lax.dynamic_slice(canvas, (0, ry, rx, 0),
+                                      (canvas.shape[0], H, W, canvas.shape[3]))
+                + contrib,
+                (0, ry, rx, 0))
+    return (jax.lax.slice(canvas, (0, p, p, 0),
+                          (canvas.shape[0], p + H, p + W, canvas.shape[3])),)
 
 
 _max_pool_same.defvjp(_max_pool_same_fwd, _max_pool_same_bwd)

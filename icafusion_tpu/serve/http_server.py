@@ -68,6 +68,11 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=5000)
     ap.add_argument("--batch-size", type=int, default=1)
     ap.add_argument("--names", nargs="*", default=None)
+    ap.add_argument("--int8", action="store_true",
+                    help="serve W8A8-quantized (~1.2x throughput; calibrated "
+                         "on random letterboxed frames at startup — pass real "
+                         "traffic through ServingEngine.quantize() for "
+                         "production scales)")
     args = ap.parse_args(argv)
 
     from icafusion_tpu.cli._common import load_model_for_inference, setup_jax
@@ -79,6 +84,14 @@ def main(argv=None):
     NAMES = args.names
     ENGINE = ServingEngine(model=model, variables=variables,
                            img_size=args.img_size, batch_size=args.batch_size)
+    if args.int8:
+        import numpy as np
+        rng = np.random.default_rng(0)
+        S = args.img_size
+        calib = [(rng.integers(0, 255, (args.batch_size, S, S, 3), np.uint8),
+                  rng.integers(0, 255, (args.batch_size, S, S, 3), np.uint8))]
+        ENGINE.quantize(calib)
+        print("int8: engine quantized")
     ENGINE.warmup()
     print(f"serving on :{args.port} (POST /v1/detect)")
     HTTPServer(("0.0.0.0", args.port), Handler).serve_forever()

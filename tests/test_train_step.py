@@ -135,18 +135,31 @@ def test_grad_accumulation_consistency():
 
 
 def test_max_pool_custom_vjp_matches_xla_gradient():
-    """SPPF's stride-1 max pool carries a custom VJP (tie-distributing mask
-    instead of XLA's select-and-scatter — layers.py). On continuous inputs the
-    gradient must equal the default VJP exactly, for every kernel the SPP/SPPF
-    family uses (5, 9, 13)."""
+    """SPPF's stride-1 max pool carries a custom VJP (first-winner mask
+    instead of XLA's select-and-scatter — layers.py). The gradient must match
+    the default VJP (up to float summation order) for every kernel the
+    SPP/SPPF family uses, INCLUDING tied inputs (integer-valued) and chained
+    pools (the SPPF pattern, where the middle pool's input holds systematic
+    duplicate maxima)."""
     from icafusion_tpu.nn.layers import _max_pool_same, _max_pool_same_impl
     rng = np.random.default_rng(7)
     for k in (5, 9, 13):
-        x = jnp.asarray(rng.normal(size=(2, 12, 9, 8)).astype(np.float32))
-        ct = jnp.asarray(rng.normal(size=(2, 12, 9, 8)).astype(np.float32))
-        y1, vjp1 = jax.vjp(lambda a: _max_pool_same(a, k), x)
-        y2, vjp2 = jax.vjp(lambda a: _max_pool_same_impl(a, k), x)
-        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
-        np.testing.assert_allclose(np.asarray(vjp1(ct)[0]),
-                                   np.asarray(vjp2(ct)[0]),
-                                   rtol=1e-6, atol=1e-6)
+        for mk in (lambda: rng.normal(size=(2, 12, 9, 8)),
+                   lambda: rng.integers(0, 4, (2, 12, 9, 8))):  # ties
+            x = jnp.asarray(mk().astype(np.float32))
+            ct = jnp.asarray(rng.normal(size=(2, 12, 9, 8)).astype(np.float32))
+            y1, vjp1 = jax.vjp(lambda a: _max_pool_same(a, k), x)
+            y2, vjp2 = jax.vjp(lambda a: _max_pool_same_impl(a, k), x)
+            np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+            np.testing.assert_allclose(np.asarray(vjp1(ct)[0]),
+                                       np.asarray(vjp2(ct)[0]),
+                                       rtol=1e-5, atol=1e-6)
+        # chained pools: tie-handling must match XLA's first-winner exactly
+        x = jnp.asarray(rng.normal(size=(2, 16, 16, 5)).astype(np.float32))
+        ct = jnp.asarray(rng.normal(size=(2, 16, 16, 5)).astype(np.float32))
+        g1 = jax.vjp(lambda a: _max_pool_same(
+            _max_pool_same(_max_pool_same(a, k), k), k), x)[1](ct)[0]
+        g2 = jax.vjp(lambda a: _max_pool_same_impl(
+            _max_pool_same_impl(_max_pool_same_impl(a, k), k), k), x)[1](ct)[0]
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-5, atol=1e-6)
