@@ -140,9 +140,11 @@ class PairedLoader:
                     # scaleup=True matches the reference's combined geometry:
                     # load_image resizes max-side to img_size unconditionally
                     # (datasets.py:1117-1122), then letterbox pads
+                    import os
                     rgb, ir, ratios, pads, hw = native_mod.decode_letterbox_batch(
                         rgb_paths, ir_paths, S, scaleup=True,
-                        n_threads=self.num_workers)
+                        n_threads=max(1, min(self.num_workers,
+                                             os.cpu_count() or 1)))
                     shapes = [((int(hw[k, 0]), int(hw[k, 1])),
                                ((float(ratios[k, 0]), float(ratios[k, 1])),
                                 (float(pads[k, 0]), float(pads[k, 1]))))

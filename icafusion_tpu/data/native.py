@@ -23,12 +23,18 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not _LIB_PATH.exists():
+    src = _LIB_PATH.parent / "loader.cpp"
+    stale = (_LIB_PATH.exists() and src.exists()
+             and src.stat().st_mtime > _LIB_PATH.stat().st_mtime)
+    if not _LIB_PATH.exists() or stale:
+        # (re)build for THIS machine: build.sh uses -march=native, and a stale
+        # or foreign-arch binary measured 4.5x slower than a fresh build
         build = _LIB_PATH.parent / "build.sh"
         try:
             subprocess.run(["sh", str(build)], check=True, capture_output=True)
         except Exception:
-            return None
+            if not _LIB_PATH.exists():
+                return None
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
     except OSError:
@@ -51,9 +57,14 @@ def available() -> bool:
 
 def decode_letterbox_batch(rgb_paths: List[str], ir_paths: List[str],
                            img_size: int, scaleup: bool = False,
-                           n_threads: int = 8):
+                           n_threads: int = None):
     """-> (rgb (n,S,S,3) u8, ir, ratios (n,2), pads (n,2), orig_hw (n,2)).
-    JPEG-only fast path; raises RuntimeError if the library is unavailable."""
+    JPEG-only fast path; raises RuntimeError if the library is unavailable.
+    n_threads defaults to min(8, cpu_count) — oversubscribing a small host
+    measurably thrashes (BENCH.md)."""
+    if n_threads is None:
+        import os
+        n_threads = max(1, min(8, os.cpu_count() or 1))
     lib = _load()
     if lib is None:
         raise RuntimeError("native host library unavailable; run native/build.sh")

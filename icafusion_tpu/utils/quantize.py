@@ -48,13 +48,22 @@ def calibrate(model, variables, batches: Iterable[Tuple]) -> dict:
 
 
 def quantize_variables(variables: dict, calib: dict,
-                       min_scale: float = 1e-8) -> dict:
+                       min_scale: float = 1e-8,
+                       min_ch: int = 0) -> dict:
     """Build the 'quant' collection from params + calibration absmaxes.
 
     For every module path that has both a calibrated 'absmax' (sown by Conv)
     and a 4D conv kernel child, emit {w8 int8 HWIO, s_w (cout,) f32,
     s_in () f32}; grouped convs keep their feature_group_count in the int8
-    path."""
+    path.
+
+    min_ch: skip convs with fewer than this many in- OR out-channels.
+    Default 0 = quantize everything, which MEASURES FASTEST: the hypothesis
+    that sub-128-channel stages (lane-bound in any dtype) only pay quantize
+    epilogues was refuted end-to-end — min_ch=128 serves 56.97 ms/b32 vs
+    54.0 quantizing all (the mixed bf16<->s8 boundary converts cost more
+    than the early-map epilogues save; BENCH.md). Kept as a knob for other
+    model shapes."""
     params = jax.tree.map(np.asarray, variables["params"])
 
     def walk(p_node, c_node):
@@ -72,6 +81,8 @@ def quantize_variables(variables: dict, calib: dict,
                 p_node["conv"].get("kernel") is not None and \
                 np.ndim(p_node["conv"]["kernel"]) == 4:
             w = np.asarray(p_node["conv"]["kernel"], np.float32)  # HWIO
+            if w.shape[2] < min_ch or w.shape[3] < min_ch:
+                return out or None  # lane-bound stage: int8 can't win (min_ch)
             absmax = np.asarray(c_node["absmax"], np.float32).reshape(-1)
             if absmax.shape[0] == w.shape[2]:
                 # per-input-channel activation scales, folded into the weights

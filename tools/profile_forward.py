@@ -107,6 +107,8 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--trace-iters", type=int, default=5)
     ap.add_argument("--train", action="store_true")
+    ap.add_argument("--int8", action="store_true",
+                    help="profile the W8A8-quantized serving path")
     ap.add_argument("--no-trace", action="store_true")
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--trace-dir", default="/tmp/icaf_trace")
@@ -160,6 +162,13 @@ def main():
         traced = run
         targs = (rgbt, irt)
     else:
+        if args.int8:
+            from icafusion_tpu.utils.quantize import (calibrate,
+                                                      quantize_variables)
+            variables = quantize_variables(
+                variables, calibrate(model, variables, [(rgb[:4], ir[:4])]))
+            print("int8: quantized", file=sys.stderr)
+
         # pass variables as an argument: closing over 47M params embeds them as
         # constants in the remote-compile payload (HTTP 413 over the tunnel)
         def fwd(v, a, b):
