@@ -49,7 +49,8 @@ def calibrate(model, variables, batches: Iterable[Tuple]) -> dict:
 
 def quantize_variables(variables: dict, calib: dict,
                        min_scale: float = 1e-8,
-                       min_ch: int = 0) -> dict:
+                       min_ch: int = 0,
+                       skip: Tuple[str, ...] = ()) -> dict:
     """Build the 'quant' collection from params + calibration absmaxes.
 
     For every module path that has both a calibrated 'absmax' (sown by Conv)
@@ -63,17 +64,24 @@ def quantize_variables(variables: dict, calib: dict,
     epilogues was refuted end-to-end — min_ch=128 serves 56.97 ms/b32 vs
     54.0 quantizing all (the mixed bf16<->s8 boundary converts cost more
     than the early-map epilogues save; BENCH.md). Kept as a knob for other
-    model shapes."""
-    params = jax.tree.map(np.asarray, variables["params"])
+    model shapes.
 
-    def walk(p_node, c_node):
+    skip: module-path prefixes (top-level layer names like 'm0') to leave in
+    full precision — e.g. the stem stages whose giant activation maps make
+    the quantize epilogues expensive."""
+    params = jax.tree.map(np.asarray, variables["params"])
+    skip = tuple(skip)
+
+    def walk(p_node, c_node, path=()):
         if not isinstance(p_node, dict) or not isinstance(c_node, dict):
+            return None
+        if path and path[0] in skip:
             return None
         out = {}
         for key, child in c_node.items():
             if key == "absmax":
                 continue
-            sub = walk(p_node.get(key, {}), child)
+            sub = walk(p_node.get(key, {}), child, path + (key,))
             if sub:
                 out[key] = sub
         if "absmax" in c_node and "conv" in p_node and \
