@@ -51,6 +51,9 @@ def main():
                     help="benchmark the training step instead of serving")
     args = ap.parse_args()
 
+    if args.fp32:
+        args.int8 = False  # --fp32 means an unquantized fp32 baseline
+
     if args.train:
         return bench_train(args)
 

@@ -52,10 +52,45 @@ def parse_args(argv=None):
                     help="TTA multi-scale/flip ensemble")
     ap.add_argument("--max-frames", type=int, default=0,
                     help="stream mode: stop after N frames (0 = run forever)")
+    ap.add_argument("--stream-fps", type=float, default=0.0,
+                    help="stream mode: pace file-replay 'streams' at this "
+                         "rate (real cameras pace themselves; 0 = no pacing)")
     return ap.parse_args(argv)
 
 
 VIDEO_FORMATS = (".mp4", ".avi", ".mov", ".mkv", ".m4v", ".webm")
+
+
+def _make_infer(model, args):
+    """One jitted two-stream inference closure shared by the image / video /
+    stream branches (uint8 in, fused decode+NMS on device; TTA optional)."""
+    import jax
+    import jax.numpy as jnp
+
+    from icafusion_tpu.ops.nms import non_max_suppression
+
+    @jax.jit
+    def infer(v, rgb, ir):
+        rgb = rgb.astype(jnp.float32) / 255.0
+        ir = ir.astype(jnp.float32) / 255.0
+        if args.augment:
+            from icafusion_tpu.models.tta import tta_inference
+            pred = tta_inference(model, v, rgb, ir)
+        else:
+            pred, _, _ = model.apply(v, rgb, ir, train=False, decode=True)
+        return non_max_suppression(pred, conf_thres=args.conf_thres,
+                                   iou_thres=args.iou_thres, top_k=1024)
+
+    return infer
+
+
+def _annotate_bgr(im0_rgb, pred, names):
+    """RGB frame + detections -> BGR frame with drawn boxes (for cv2 IO)."""
+    frame = im0_rgb[:, :, ::-1].copy()
+    for x1, y1, x2, y2, conf, cls in pred:
+        plot_one_box(frame, (x1, y1, x2, y2), f"{names[int(cls)]} {conf:.2f}",
+                     COLORS[int(cls) % len(COLORS)])
+    return frame
 
 
 def detect_videos(args, model, variables, names):
@@ -63,25 +98,17 @@ def detect_videos(args, model, variables, names):
     LoadImages, datasets.py:212-239): per-frame two-stream inference, annotated
     output video, FPS report."""
     import cv2
-    import jax
     import jax.numpy as jnp
     import time as _time
 
     from icafusion_tpu.data.streams import LoadPairedVideos
     from icafusion_tpu.eval.evaluator import scale_coords_np
-    from icafusion_tpu.ops.nms import detections_to_numpy, non_max_suppression
+    from icafusion_tpu.ops.nms import detections_to_numpy
 
     S = args.img_size
     save_dir = Path(args.save_dir)
     save_dir.mkdir(parents=True, exist_ok=True)
-
-    @jax.jit
-    def infer(v, rgb, ir):
-        rgb = rgb.astype(jnp.float32) / 255.0
-        ir = ir.astype(jnp.float32) / 255.0
-        pred, _, _ = model.apply(v, rgb, ir, train=False, decode=True)
-        return non_max_suppression(pred, conf_thres=args.conf_thres,
-                                   iou_thres=args.iou_thres, top_k=1024)
+    infer = _make_infer(model, args)
 
     src = LoadPairedVideos(args.source1, args.source2, img_size=S)
     writer = None
@@ -96,11 +123,7 @@ def detect_videos(args, model, variables, names):
         h0, w0 = im0.shape[:2]
         if len(pred):
             pred[:, :4] = scale_coords_np((S, S), pred[:, :4], (h0, w0))
-        frame = im0[:, :, ::-1].copy()  # RGB -> BGR for cv2
-        for x1, y1, x2, y2, conf, cls in pred:
-            plot_one_box(frame, (x1, y1, x2, y2),
-                         f"{names[int(cls)]} {conf:.2f}",
-                         COLORS[int(cls) % len(COLORS)])
+        frame = _annotate_bgr(im0, pred, names)
         if writer is None and not args.nosave:
             out_path = str(save_dir / (Path(args.source1).stem + "_det.mp4"))
             writer = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"),
@@ -125,39 +148,42 @@ def _is_stream(src: str) -> bool:
                                                   "http://", "https://"))
 
 
-def detect_streams(args, model, variables, names):
+def detect_streams(args, model, variables, names, stale_timeout: float = 30.0):
     """Live paired-stream inference (LoadStreams counterpart,
     datasets.py:310-388): threaded latest-frame readers per modality pair,
-    annotated jpg of the most recent frame per stream, FPS report."""
+    annotated jpg of the most recent frame per stream, FPS report. Each frame
+    is processed ONCE (sequence-number dedup); if no new frame arrives for
+    stale_timeout seconds (EOF/disconnect) the loop ends instead of spinning
+    on the stale frame."""
     import cv2
     import jax.numpy as jnp
     import time as _time
 
     from icafusion_tpu.data.streams import LoadPairedStreams
     from icafusion_tpu.eval.evaluator import scale_coords_np
-    from icafusion_tpu.ops.nms import detections_to_numpy, non_max_suppression
-    import jax
+    from icafusion_tpu.ops.nms import detections_to_numpy
 
     S = args.img_size
     save_dir = Path(args.save_dir)
     save_dir.mkdir(parents=True, exist_ok=True)
+    infer = _make_infer(model, args)
 
-    @jax.jit
-    def infer(v, rgb, ir):
-        rgb = rgb.astype(jnp.float32) / 255.0
-        ir = ir.astype(jnp.float32) / 255.0
-        pred, _, _ = model.apply(v, rgb, ir, train=False, decode=True)
-        return non_max_suppression(pred, conf_thres=args.conf_thres,
-                                   iou_thres=args.iou_thres, top_k=1024)
-
-    src = LoadPairedStreams([args.source1], [args.source2], img_size=S)
-    n, t_total = 0, 0.0
+    src = LoadPairedStreams([args.source1], [args.source2], img_size=S,
+                            fps=getattr(args, "stream_fps", 0.0))
+    n, t_total, last_seq = 0, 0.0, 0
+    t_last_new = _time.time()
     try:
         while args.max_frames <= 0 or n < args.max_frames:
-            frames = src.read()
-            if frames[0] is None:
+            if src.seq[0] == last_seq:
+                if _time.time() - t_last_new > stale_timeout:
+                    print(f"stream stale for {stale_timeout:.0f}s "
+                          "(EOF/disconnect) — stopping")
+                    break
                 _time.sleep(0.005)
                 continue
+            last_seq = src.seq[0]
+            t_last_new = _time.time()
+            frames = src.read()
             rgb_l, ir_l, im0, _ = frames[0]
             t0 = _time.time()
             dets = infer(variables, jnp.asarray(rgb_l[None]),
@@ -169,12 +195,8 @@ def detect_streams(args, model, variables, names):
             if len(pred):
                 pred[:, :4] = scale_coords_np((S, S), pred[:, :4], (h0, w0))
             if not args.nosave:
-                frame = im0[:, :, ::-1].copy()
-                for x1, y1, x2, y2, conf, cls in pred:
-                    plot_one_box(frame, (x1, y1, x2, y2),
-                                 f"{names[int(cls)]} {conf:.2f}",
-                                 COLORS[int(cls) % len(COLORS)])
-                cv2.imwrite(str(save_dir / "stream0_last.jpg"), frame)
+                cv2.imwrite(str(save_dir / "stream0_last.jpg"),
+                            _annotate_bgr(im0, pred, names))
             n += 1
     finally:
         src.close()
@@ -211,17 +233,7 @@ def main(argv=None):
     save_dir.mkdir(parents=True, exist_ok=True)
     S, B = args.img_size, args.batch_size
 
-    @jax.jit
-    def infer(v, rgb, ir):
-        rgb = rgb.astype(jnp.float32) / 255.0
-        ir = ir.astype(jnp.float32) / 255.0
-        if args.augment:
-            from icafusion_tpu.models.tta import tta_inference
-            pred = tta_inference(model, v, rgb, ir)
-        else:
-            pred, _, _ = model.apply(v, rgb, ir, train=False, decode=True)
-        return non_max_suppression(pred, conf_thres=args.conf_thres,
-                                   iou_thres=args.iou_thres, top_k=1024)
+    infer = _make_infer(model, args)
 
     n_done, t_total = 0, 0.0
     for start in range(0, len(files1), B):

@@ -54,6 +54,31 @@ def parse_args(argv=None):
     return ap.parse_args(argv)
 
 
+def _quantize_from_dir(args, data_cfg, model, variables, rgb_dir, ir_dir):
+    """W8A8-quantize using the first val batches at args.img_size as the
+    calibration set (same normalization the Evaluator applies)."""
+    import jax.numpy as jnp
+
+    from icafusion_tpu.config import load_hyp_config
+    from icafusion_tpu.data.datasets import PairedDetectionDataset
+    from icafusion_tpu.data.loader import PairedLoader
+    from icafusion_tpu.utils.quantize import calibrate, quantize_variables
+
+    ds = PairedDetectionDataset(rgb_dir, ir_dir, img_size=args.img_size,
+                                hyp=load_hyp_config(), augment=False,
+                                nc=data_cfg.nc)
+    loader = PairedLoader(ds, batch_size=args.batch_size, shuffle=False)
+    calib_batches = []
+    for batch in loader.val_batches():
+        calib_batches.append((jnp.asarray(batch["rgb"], jnp.float32) / 255.0,
+                              jnp.asarray(batch["ir"], jnp.float32) / 255.0))
+        if len(calib_batches) >= 2:
+            break
+    print(f"int8: calibrated on {len(calib_batches)} batches")
+    return quantize_variables(variables,
+                              calibrate(model, variables, calib_batches))
+
+
 def run_study(args, data_cfg, model, variables, rgb_dir: str, ir_dir: str):
     """--task study: evaluate over a range of image sizes, write the
     reference-layout study_*.txt (10 cols: P R mAP50 mAP lbox lobj lcls
@@ -72,7 +97,8 @@ def run_study(args, data_cfg, model, variables, rgb_dir: str, ir_dir: str):
     save_dir = Path(args.save_dir)
     save_dir.mkdir(parents=True, exist_ok=True)
     ev = Evaluator(model=model, nc=data_cfg.nc, conf_thres=args.conf_thres,
-                   iou_thres=args.iou_thres, single_cls=args.single_cls)
+                   iou_thres=args.iou_thres, single_cls=args.single_cls,
+                   augment=args.augment)
     rows = []
     for s in sizes:
         print(f"study point: imgsz={s} ...")
@@ -114,6 +140,9 @@ def main(argv=None):
         args.save_json = args.confusion = args.save_txt = False
         args.coco_gt = args.kaist_ann = None
     if args.task == "study":
+        if args.int8:
+            variables = _quantize_from_dir(args, data_cfg, model, variables,
+                                           str(root / rgb), str(root / ir))
         return run_study(args, data_cfg, model, variables, str(root / rgb),
                          str(root / ir))
     ds = PairedDetectionDataset(str(root / rgb), str(root / ir),
@@ -123,20 +152,8 @@ def main(argv=None):
     loader = PairedLoader(ds, batch_size=args.batch_size, shuffle=False)
 
     if args.int8:
-        import jax.numpy as jnp
-
-        from icafusion_tpu.utils.quantize import calibrate, quantize_variables
-        calib_batches = []
-        for batch in loader.val_batches():
-            # same normalization the Evaluator applies (evaluator.py:101-102)
-            calib_batches.append(
-                (jnp.asarray(batch["rgb"], jnp.float32) / 255.0,
-                 jnp.asarray(batch["ir"], jnp.float32) / 255.0))
-            if len(calib_batches) >= 2:
-                break
-        variables = quantize_variables(
-            variables, calibrate(model, variables, calib_batches))
-        print(f"int8: calibrated on {len(calib_batches)} batches")
+        variables = _quantize_from_dir(args, data_cfg, model, variables,
+                                       str(root / rgb), str(root / ir))
 
     ev = Evaluator(model=model, nc=data_cfg.nc, conf_thres=args.conf_thres,
                    iou_thres=args.iou_thres, single_cls=args.single_cls,

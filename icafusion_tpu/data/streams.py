@@ -52,11 +52,20 @@ class LoadPairedStreams:
     """Threaded multi-stream reader (RTSP/webcam), latest-frame semantics
     (LoadStreams, datasets.py:310-388)."""
 
-    def __init__(self, sources1: List, sources2: List, img_size: int = 640):
+    def __init__(self, sources1: List, sources2: List, img_size: int = 640,
+                 fps: float = 0.0):
+        """fps > 0 paces the readers (sleep 1/fps between grabs) — real
+        cameras pace themselves; use this when replaying FILES as streams so
+        they don't drain at decode speed."""
         assert len(sources1) == len(sources2)
         self.img_size = img_size
+        self.frame_interval = 1.0 / fps if fps > 0 else 0.0
         self.frames: List[Optional[Tuple[np.ndarray, np.ndarray]]] = \
             [None] * len(sources1)
+        # per-stream frame sequence number: lets consumers distinguish a fresh
+        # frame from a stale one after EOF/disconnect (the reader keeps the
+        # last frame, like the reference's LoadStreams, datasets.py:310-388)
+        self.seq: List[int] = [0] * len(sources1)
         self.caps = []
         self.threads = []
         self.running = True
@@ -77,6 +86,9 @@ class LoadPairedStreams:
             if ok1 and ok2:
                 self.frames[i] = (cv2.cvtColor(f1, cv2.COLOR_BGR2RGB),
                                   cv2.cvtColor(f2, cv2.COLOR_BGR2RGB))
+                self.seq[i] += 1
+                if self.frame_interval:
+                    time.sleep(self.frame_interval)
             else:
                 time.sleep(0.01)
 

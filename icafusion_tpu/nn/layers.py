@@ -325,6 +325,10 @@ def _max_pool_same(x, k: int):
     scattered back by a static-slice add — 3*k*k elementwise terms XLA fuses
     into loop fusions (tests/test_train_step.py asserts equality vs the
     default VJP on tied integer data and on chained pools).
+
+    Restriction: custom_vjp removes forward-mode differentiability — jax.jvp/
+    jacfwd through SPP/SPPF-containing models raises; use reverse mode (all
+    in-repo training/Grad-CAM paths are reverse-mode).
     """
     return _max_pool_same_impl(x, k)
 

@@ -98,8 +98,10 @@ class ServingEngine:
         return out
 
     def predict_paths(self, rgb_paths: List[str], ir_paths: List[str],
-                      n_threads: int = 8) -> List[np.ndarray]:
-        """Native-decode + serve; detections in native image coordinates."""
+                      n_threads: int = None) -> List[np.ndarray]:
+        """Native-decode + serve; detections in native image coordinates.
+        n_threads=None lets the native loader pick min(8, cpu_count) —
+        oversubscribing a small host thrashes (BENCH.md)."""
         from icafusion_tpu.data import native
         outs: List[np.ndarray] = []
         B = self.batch_size

@@ -69,10 +69,16 @@ def main(argv=None):
     ap.add_argument("--batch-size", type=int, default=1)
     ap.add_argument("--names", nargs="*", default=None)
     ap.add_argument("--int8", action="store_true",
-                    help="serve W8A8-quantized (~1.2x throughput; calibrated "
-                         "on random letterboxed frames at startup — pass real "
-                         "traffic through ServingEngine.quantize() for "
-                         "production scales)")
+                    help="serve W8A8-quantized (~1.2x throughput). Calibrate "
+                         "on REAL representative images via --calib-rgb/"
+                         "--calib-ir; without them calibration falls back to "
+                         "random noise, which mis-scales per-channel "
+                         "activation ranges and degrades accuracy — fine for "
+                         "smoke tests only")
+    ap.add_argument("--calib-rgb", default=None,
+                    help="folder/glob of RGB images for int8 calibration")
+    ap.add_argument("--calib-ir", default=None,
+                    help="folder/glob of IR images for int8 calibration")
     args = ap.parse_args(argv)
 
     from icafusion_tpu.cli._common import load_model_for_inference, setup_jax
@@ -86,10 +92,32 @@ def main(argv=None):
                            img_size=args.img_size, batch_size=args.batch_size)
     if args.int8:
         import numpy as np
-        rng = np.random.default_rng(0)
         S = args.img_size
-        calib = [(rng.integers(0, 255, (args.batch_size, S, S, 3), np.uint8),
-                  rng.integers(0, 255, (args.batch_size, S, S, 3), np.uint8))]
+        if args.calib_rgb and args.calib_ir:
+            import cv2
+
+            from icafusion_tpu.data.augment import letterbox
+            from icafusion_tpu.data.datasets import discover_images
+            rgbs = discover_images(args.calib_rgb)[:16]
+            irs = discover_images(args.calib_ir)[:16]
+            pairs = []
+            for p1, p2 in zip(rgbs, irs):
+                a = cv2.cvtColor(cv2.imread(p1), cv2.COLOR_BGR2RGB)
+                b = cv2.cvtColor(cv2.imread(p2), cv2.COLOR_BGR2RGB)
+                pairs.append((letterbox(a, S, scaleup=True)[0],
+                              letterbox(b, S, scaleup=True)[0]))
+            calib = [(np.stack([p[0] for p in pairs]),
+                      np.stack([p[1] for p in pairs]))]
+            print(f"int8: calibrating on {len(pairs)} real pairs")
+        else:
+            rng = np.random.default_rng(0)
+            calib = [(rng.integers(0, 255, (args.batch_size, S, S, 3),
+                                   np.uint8),
+                      rng.integers(0, 255, (args.batch_size, S, S, 3),
+                                   np.uint8))]
+            print("int8: WARNING — noise calibration (no --calib-rgb/ir); "
+                  "per-channel activation scales will not match real "
+                  "traffic, accuracy degrades. Smoke-test use only.")
         ENGINE.quantize(calib)
         print("int8: engine quantized")
     ENGINE.warmup()

@@ -19,6 +19,12 @@ Usage:
     calib = calibrate(model, variables, [(rgb1, ir1), (rgb2, ir2), ...])
     qvars = quantize_variables(variables, calib)
     pred, _, _ = model.apply(qvars, rgb, ir, train=False, decode=True)
+
+Compatibility: the 'quant' collection layout changed when activation scales
+went per-channel (s_in folded into w8/s_w; dequant is now y*s_w, not
+y*s_in*s_w). Collections are never checkpointed — always regenerate them
+from calibrate()+quantize_variables() on load; do not persist and reuse a
+collection across framework versions.
 """
 
 from __future__ import annotations
@@ -70,7 +76,7 @@ def quantize_variables(variables: dict, calib: dict,
     full precision — e.g. the stem stages whose giant activation maps make
     the quantize epilogues expensive."""
     params = jax.tree.map(np.asarray, variables["params"])
-    skip = tuple(skip)
+    skip = (skip,) if isinstance(skip, str) else tuple(skip)
 
     def walk(p_node, c_node, path=()):
         if not isinstance(p_node, dict) or not isinstance(c_node, dict):
