@@ -296,10 +296,12 @@ def fit(cfg: FitConfig) -> dict:
             if fit_val > best_fit:
                 best_fit = fit_val
                 if is_main:
-                    save_checkpoint(wdir / "best.ckpt", state, epoch, best_fit)
+                    save_checkpoint(wdir / "best.ckpt", state, epoch, best_fit,
+                                    background=True)
         if is_main and ((epoch + 1) % cfg.save_every == 0
                         or epoch == cfg.epochs - 1):
-            save_checkpoint(wdir / "last.ckpt", state, epoch, best_fit)
+            save_checkpoint(wdir / "last.ckpt", state, epoch, best_fit,
+                            background=True)
 
         dt = time.time() - t0
         if not is_main:
@@ -322,6 +324,8 @@ def fit(cfg: FitConfig) -> dict:
         final = ev
 
     if is_main:
+        from icafusion_tpu.utils.checkpoint import wait_pending_saves
+        wait_pending_saves()  # background writers must land before strip/read
         strip_checkpoint(wdir / "best.ckpt" if (wdir / "best.ckpt").exists()
                          else wdir / "last.ckpt", wdir / "stripped.ckpt")
     try:  # results.png + confusion png (reference plot_results plots.py:457)

@@ -21,13 +21,27 @@ import numpy as np
 from flax import serialization
 
 
+# in-flight background writers, keyed by destination path (one per path —
+# a newer save for the same file joins the previous writer first, so writes
+# to a given path are ordered)
+_PENDING_SAVES: Dict[str, Any] = {}
+
+
 def save_checkpoint(path, state, epoch: int, best_fitness: float,
-                    extra: Optional[Dict[str, Any]] = None):
+                    extra: Optional[Dict[str, Any]] = None,
+                    background: bool = False):
     """state: TrainState (train/trainer.py). Writes <path> (msgpack) atomically.
 
     The whole state is fetched with ONE jax.device_get (async per-leaf copies,
     single wait) — per-leaf np.asarray costs a device round trip each, which is
-    ruinous over a remote-TPU tunnel (~12s per save observed)."""
+    ruinous over a remote-TPU tunnel (~12s per save observed).
+
+    background=True overlaps the msgpack serialization + disk write with
+    continued training (a thread per destination; call wait_pending_saves()
+    before reading the files). The device fetch itself stays synchronous on
+    purpose: the train step donates the state buffers, so a deferred
+    device_get could read donated memory — only host-owned numpy ever crosses
+    into the writer thread."""
     device_payload = {
         "params": state.params,
         "batch_stats": state.batch_stats,
@@ -48,9 +62,31 @@ def save_checkpoint(path, state, epoch: int, best_fitness: float,
     }
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    tmp = path.with_suffix(path.suffix + ".tmp")
-    tmp.write_bytes(serialization.msgpack_serialize(payload))
-    os.replace(tmp, path)
+
+    def write():
+        tmp = path.with_suffix(path.suffix + ".tmp")
+        tmp.write_bytes(serialization.msgpack_serialize(payload))
+        os.replace(tmp, path)
+
+    if not background:
+        write()
+        return
+    import threading
+    key = str(path)
+    prev = _PENDING_SAVES.pop(key, None)
+    if prev is not None:
+        prev.join()
+    t = threading.Thread(target=write, daemon=True)
+    t.start()
+    _PENDING_SAVES[key] = t
+
+
+def wait_pending_saves():
+    """Join all background checkpoint writers (call before reading the files
+    or exiting)."""
+    while _PENDING_SAVES:
+        _, t = _PENDING_SAVES.popitem()
+        t.join()
 
 
 def load_checkpoint(path) -> Dict[str, Any]:

@@ -132,3 +132,42 @@ class TestDownloads:
         with pytest.raises(DownloadError, match="not a known release asset"):
             attempt_download(tmp_path / "custom_weights.pt",
                              repo="nonexistent/repo")
+
+
+def test_background_checkpoint_save(tmp_path):
+    """background=True saves produce byte-identical checkpoints after
+    wait_pending_saves(), and same-path saves are ordered (last wins)."""
+    import jax
+    import jax.numpy as jnp
+
+    from icafusion_tpu.train.ema import ema_init
+    from icafusion_tpu.train.optim import SGDState
+    from icafusion_tpu.train.trainer import TrainState
+    from icafusion_tpu.utils.checkpoint import (load_checkpoint,
+                                                save_checkpoint,
+                                                wait_pending_saves)
+
+    def mk_state(v):
+        params = {"m0": {"conv": {"kernel": jnp.full((2, 2, 3, 4), v)}}}
+        bs = {"m0": {"bn": {"mean": jnp.zeros(4), "var": jnp.ones(4)}}}
+        return TrainState(
+            params=params, batch_stats=bs,
+            opt=SGDState(momentum=jax.tree.map(jnp.zeros_like, params),
+                         step=jnp.asarray(int(v), jnp.int32)),
+            ema=ema_init({"params": params, "batch_stats": bs}),
+            rng=jax.random.PRNGKey(0))
+
+    p_sync, p_bg = tmp_path / "sync.ckpt", tmp_path / "bg.ckpt"
+    save_checkpoint(p_sync, mk_state(1.0), epoch=1, best_fitness=0.1)
+    save_checkpoint(p_bg, mk_state(1.0), epoch=1, best_fitness=0.1,
+                    background=True)
+    # second save to the same path while the first may be in flight
+    save_checkpoint(p_bg, mk_state(2.0), epoch=2, best_fitness=0.2,
+                    background=True)
+    wait_pending_saves()
+    ckpt = load_checkpoint(p_bg)
+    assert ckpt["meta"]["epoch"] == 2 and ckpt["opt_step"] == 2
+    ref = load_checkpoint(p_sync)
+    np.testing.assert_array_equal(
+        ckpt["params"]["m0"]["conv"]["kernel"],
+        np.asarray(ref["params"]["m0"]["conv"]["kernel"]) * 2)
