@@ -290,7 +290,8 @@ def fit(cfg: FitConfig) -> dict:
             # (reference test.py plots at final eval, train.py:454-473)
             ev = evaluator.run(ema_vars, val_loader.val_batches(), cfg.imgsz,
                                confusion=last_epoch, names=names,
-                               plots_dir=str(run_dir) if last_epoch else None)
+                               plots_dir=str(run_dir)
+                               if (last_epoch and is_main) else None)
             fit_val = fitness(np.array([0, 0, 0, 0, ev["mp"], ev["mr"],
                                         ev["map50"], ev["map"]]))
             if fit_val > best_fit:

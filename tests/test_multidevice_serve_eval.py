@@ -115,3 +115,33 @@ def test_serving_engine_int8_quantized_over_8_devices(tiny_model):
     q_out = eng.predict_arrays(rgb, ir)
     assert len(q_out) == len(fp_out) == 8
     assert all(o.ndim == 2 and o.shape[1] == 6 for o in q_out)
+
+
+def test_fit_non_main_process_writes_nothing(tmp_path, monkeypatch):
+    """Multi-host gating (fit.py is_main, reference train.py rank in [-1,0]):
+    a non-zero process_index must train but emit NO run-dir artifacts —
+    no results.csv, checkpoints, plots, or TB events."""
+    from tests.test_fit_driver import _make_disk_dataset
+    from icafusion_tpu.config import DataConfig, load_hyp_config
+    from icafusion_tpu.models.zoo import tiny_icafusion_config
+    from icafusion_tpu.train import fit as fit_mod
+    from icafusion_tpu.train.fit import FitConfig, fit
+
+    _make_disk_dataset(tmp_path / "data", n=8)
+    data_cfg = DataConfig(nc=2, names=("a", "b"), path=str(tmp_path / "data"),
+                          train_rgb="visible/train", val_rgb="visible/train",
+                          train_ir="infrared/train", val_ir="infrared/train")
+    monkeypatch.setattr(fit_mod.jax, "process_index", lambda: 1)
+    result = fit(FitConfig(
+        model_cfg=tiny_icafusion_config(nc=2), data_cfg=data_cfg,
+        hyp=load_hyp_config(None), epochs=1, batch_size=4, imgsz=96,
+        project=str(tmp_path / "runs"), name="rank1", autoanchor=False,
+        workers=0, warmup_min_steps=2, max_targets=16, n_devices=4))
+    assert "map50" in result
+    run_dir = tmp_path / "runs" / "rank1"
+    leftovers = list(run_dir.rglob("*")) if run_dir.exists() else []
+    # the label cache is per-HOST by design (each host caches its own
+    # dataset view — the reference's rank-0-first guard assumes shared disk)
+    files = [p for p in leftovers
+             if p.is_file() and ".cache" not in p.parts]
+    assert not files, files
