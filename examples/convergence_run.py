@@ -64,6 +64,9 @@ def main():
     ap.add_argument("--scale", default="tiny",
                     help="'tiny' or a yolov5 scale letter (n/s/m/l) for the "
                          "real Transfusion family")
+    ap.add_argument("--fusion", default="tfb", choices=["tfb", "nin", "add"],
+                    help="fusion family for non-tiny scales (DMFF "
+                         "transformer / NiN concat-conv / fixed-weight add)")
     args = ap.parse_args()
 
     from icafusion_tpu.config import DataConfig, load_hyp_config
@@ -83,7 +86,7 @@ def main():
                           train_ir="infrared/train", val_ir="infrared/val")
     hyp = load_hyp_config(None).replace(mosaic=0.5, warmup_epochs=2.0)
     mc = (tiny_icafusion_config(nc=3) if args.scale == "tiny"
-          else icafusion_config(args.scale, nc=3, fusion="tfb"))
+          else icafusion_config(args.scale, nc=3, fusion=args.fusion))
     result = fit(FitConfig(
         model_cfg=mc, data_cfg=data_cfg, hyp=hyp,
         epochs=args.epochs, batch_size=args.batch, imgsz=args.imgsz,
