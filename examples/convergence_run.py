@@ -62,15 +62,18 @@ def main():
     ap.add_argument("--workdir", default="runs/convergence")
     ap.add_argument("--eval-every", type=int, default=2)
     ap.add_argument("--scale", default="tiny",
-                    help="'tiny' or a yolov5 scale letter (n/s/m/l) for the "
-                         "real Transfusion family")
+                    help="'tiny', a yolov5 scale letter (n/s/m/l), or an alt "
+                         "backbone 'vgg16'/'resnet50'")
     ap.add_argument("--fusion", default="tfb", choices=["tfb", "nin", "add"],
                     help="fusion family for non-tiny scales (DMFF "
                          "transformer / NiN concat-conv / fixed-weight add)")
     args = ap.parse_args()
 
     from icafusion_tpu.config import DataConfig, load_hyp_config
-    from icafusion_tpu.models.zoo import icafusion_config, tiny_icafusion_config
+    from icafusion_tpu.models.zoo import (icafusion_config,
+                                          resnet50_icafusion_config,
+                                          tiny_icafusion_config,
+                                          vgg16_icafusion_config)
     from icafusion_tpu.train.fit import FitConfig, fit
 
     work = Path(args.workdir)
@@ -85,8 +88,14 @@ def main():
                           train_rgb="visible/train", val_rgb="visible/val",
                           train_ir="infrared/train", val_ir="infrared/val")
     hyp = load_hyp_config(None).replace(mosaic=0.5, warmup_epochs=2.0)
-    mc = (tiny_icafusion_config(nc=3) if args.scale == "tiny"
-          else icafusion_config(args.scale, nc=3, fusion=args.fusion))
+    if args.scale == "tiny":
+        mc = tiny_icafusion_config(nc=3)
+    elif args.scale == "vgg16":
+        mc = vgg16_icafusion_config(nc=3, fusion=args.fusion)
+    elif args.scale == "resnet50":
+        mc = resnet50_icafusion_config(nc=3, fusion=args.fusion)
+    else:
+        mc = icafusion_config(args.scale, nc=3, fusion=args.fusion)
     result = fit(FitConfig(
         model_cfg=mc, data_cfg=data_cfg, hyp=hyp,
         epochs=args.epochs, batch_size=args.batch, imgsz=args.imgsz,
