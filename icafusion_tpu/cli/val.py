@@ -31,6 +31,11 @@ def parse_args(argv=None):
                     help="--task study size sweep as start:stop:step "
                          "(reference: 256..1536+128 step 128). Each size is a "
                          "fresh XLA compile — narrow the range to iterate")
+    ap.add_argument("--rect", action="store_true",
+                    help="rect pad-0.5 letterbox val (the reference's eval "
+                         "protocol, test.py:100): per-image stride-aligned "
+                         "canvases grouped by shape, one jit compile per "
+                         "distinct canvas. Default is fixed-square letterbox")
     ap.add_argument("--save-txt", action="store_true",
                     help="write MR-format detection txts")
     ap.add_argument("--save-dir", default="runs/val/exp")
@@ -161,7 +166,8 @@ def main(argv=None):
     save_dir = Path(args.save_dir)
     mr_dir = str(save_dir / "labels") if (args.save_txt or args.kaist_ann) else None
     save_json = args.save_json or args.coco_gt is not None
-    out = ev.run(variables, loader.val_batches(), args.img_size,
+    batches = loader.rect_val_batches() if args.rect else loader.val_batches()
+    out = ev.run(variables, batches, args.img_size,
                  confusion=args.confusion, mr_txt_dir=mr_dir,
                  names=list(data_cfg.names),
                  coco_json=str(save_dir / "detections.json") if save_json else None)

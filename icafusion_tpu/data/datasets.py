@@ -226,15 +226,44 @@ class PairedDetectionDataset:
                     labels[:, 1] = 1 - labels[:, 1]
         return np.ascontiguousarray(img_rgb), np.ascontiguousarray(img_ir), labels
 
-    def val_sample(self, index: int):
-        """Letterboxed pair at fixed square size, scaleup=False, plus shapes info
-        for coordinate rescaling (test.py uses (h0,w0),((r,r),pad))."""
+    def val_sample(self, index: int, canvas=None):
+        """Letterboxed pair, scaleup=False, plus shapes info for coordinate
+        rescaling (test.py uses (h0,w0),((r,r),pad)). canvas: target (h, w) —
+        defaults to the fixed square img_size; rect eval passes the per-image
+        pad-0.5 canvas from rect_val_canvas()."""
         img_rgb, img_ir = self._load_pair(index)
         h, w = img_rgb.shape[:2]
         h0, w0 = self._last_hw0
-        img_rgb, ratio, pad = letterbox(img_rgb, self.img_size, scaleup=False)
-        img_ir, _, _ = letterbox(img_ir, self.img_size, scaleup=False)
+        canvas = self.img_size if canvas is None else canvas
+        img_rgb, ratio, pad = letterbox(img_rgb, canvas, scaleup=False)
+        img_ir, _, _ = letterbox(img_ir, canvas, scaleup=False)
         lab = self.labels[index]
         shapes = ((h0, w0), ((h / h0 * ratio[0], w / w0 * ratio[1]), pad))
         return (np.ascontiguousarray(img_rgb), np.ascontiguousarray(img_ir),
                 lab.copy(), shapes)
+
+    # ---------------- rect eval geometry ----------------
+
+    def image_shapes(self) -> np.ndarray:
+        """(n, 2) native (h0, w0) per image, from header reads (PIL), cached."""
+        if getattr(self, "_image_shapes", None) is None:
+            from PIL import Image
+            shapes = np.empty((len(self.files_rgb), 2), np.int64)
+            for i, p in enumerate(self.files_rgb):
+                with Image.open(p) as im:
+                    w0, h0 = im.size
+                shapes[i] = (h0, w0)
+            self._image_shapes = shapes
+        return self._image_shapes
+
+    def rect_val_canvas(self, index: int, stride: int = 32,
+                        pad: float = 0.5) -> Tuple[int, int]:
+        """The reference's rect-val canvas for one image (datasets.py:826-872
+        at its eval geometry): aspect ratio normalized to max side 1, scaled
+        by img_size, ceil'd to stride multiples with +pad slack."""
+        h0, w0 = self.image_shapes()[index]
+        ar = h0 / w0
+        shape = [ar, 1.0] if ar < 1 else [1.0, 1.0 / ar]
+        canvas = np.ceil(np.array(shape) * self.img_size / stride
+                         + pad).astype(int) * stride
+        return int(canvas[0]), int(canvas[1])

@@ -166,3 +166,40 @@ class PairedLoader:
             yield {"rgb": rgb, "ir": ir, "labels": labels, "shapes": shapes,
                    "count": count,
                    "paths": [self.dataset.files_rgb[i] for i in idx]}
+
+    def rect_val_batches(self, stride: int = 32,
+                         pad: float = 0.5) -> Iterator[dict]:
+        """Rect-letterbox eval batches (the reference's val protocol:
+        rect=True, pad=0.5 — test.py:100, shape bucketing datasets.py:826-872).
+
+        TPU redesign: instead of the reference's per-batch min/max-aspect
+        canvases (variable shapes, one compile each anyway), every image gets
+        its per-image pad-0.5 canvas (== the reference's geometry at batch
+        size 1, which is how it evaluates during training, train.py:382) and
+        images are grouped by canvas — one fixed shape, and therefore one XLA
+        compile, per distinct canvas. Single-aspect datasets (KAIST/FLIR)
+        produce exactly one group. Batch dicts match val_batches()."""
+        n = len(self.dataset)
+        B = self.batch_size
+        groups: dict = {}
+        for i in range(n):
+            groups.setdefault(self.dataset.rect_val_canvas(i, stride, pad),
+                              []).append(i)
+        for (hh, ww), members in groups.items():
+            for start in range(0, len(members), B):
+                idx = members[start:start + B]
+                count = len(idx)
+                while len(idx) < B:
+                    idx.append(idx[-1])
+                rgb = np.empty((B, hh, ww, 3), np.uint8)
+                ir = np.empty((B, hh, ww, 3), np.uint8)
+                shapes = []
+                for slot, i in enumerate(idx):
+                    r, i2, _, shp = self.dataset.val_sample(i, canvas=(hh, ww))
+                    rgb[slot] = r
+                    ir[slot] = i2
+                    shapes.append(shp)
+                yield {"rgb": rgb, "ir": ir,
+                       "labels": [self.dataset.labels[i].copy() for i in idx],
+                       "shapes": shapes, "count": count,
+                       "paths": [self.dataset.files_rgb[i] for i in idx]}

@@ -149,35 +149,46 @@ class ConfusionMatrix:
         self.iou_thres = iou_thres
 
     def process_batch(self, detections: np.ndarray, labels: np.ndarray):
-        """detections (N,6) xyxy+conf+cls; labels (M,5) cls+xyxy."""
-        detections = detections[detections[:, 4] > self.conf]
-        gt_classes = labels[:, 0].astype(int)
-        det_classes = detections[:, 5].astype(int)
-        if len(labels) and len(detections):
-            lt = np.maximum(labels[:, None, 1:3], detections[None, :, 0:2])
-            rb = np.minimum(labels[:, None, 3:5], detections[None, :, 2:4])
+        """detections (N,6) xyxy+conf+cls; labels (M,5) cls+xyxy.
+
+        Matching is a two-round election, equivalent to the reference's
+        dedup of the candidate-pair list (metrics.py:138-147) but computed
+        by per-axis argmax + scatter-max instead of sort/unique passes:
+        every detection above the IoU threshold first elects its best label,
+        then each label keeps the best of its electors. Exact-tie IoUs break
+        toward the HIGHEST index both rounds (the reference's
+        argsort()[::-1] reverses a stable ascending sort, so tied pairs land
+        in descending original order). One quirk preserved: when NO pair
+        clears the threshold, unmatched detections are not counted into the
+        background column (reference guards that loop on n>0)."""
+        det = detections[detections[:, 4] > self.conf]
+        gt_cls = labels[:, 0].astype(int)
+        det_cls = det[:, 5].astype(int)
+        m, n = len(labels), len(det)
+        chosen = np.full(m, -1, np.int64)   # winning detection per label
+        if m and n:
+            lt = np.maximum(labels[:, None, 1:3], det[None, :, 0:2])
+            rb = np.minimum(labels[:, None, 3:5], det[None, :, 2:4])
             inter = np.clip(rb - lt, 0, None).prod(-1)
             a1 = (labels[:, 3] - labels[:, 1]) * (labels[:, 4] - labels[:, 2])
-            a2 = (detections[:, 2] - detections[:, 0]) * (detections[:, 3] - detections[:, 1])
+            a2 = (det[:, 2] - det[:, 0]) * (det[:, 3] - det[:, 1])
             iou = inter / (a1[:, None] + a2[None, :] - inter + 1e-16)
-            gi, di = np.where(iou > self.iou_thres)
-            matches = np.stack([gi, di, iou[gi, di]], 1)
-            if len(matches) > 1:
-                matches = matches[matches[:, 2].argsort()[::-1]]
-                matches = matches[np.unique(matches[:, 1], return_index=True)[1]]
-                matches = matches[matches[:, 2].argsort()[::-1]]
-                matches = matches[np.unique(matches[:, 0], return_index=True)[1]]
-        else:
-            matches = np.zeros((0, 3))
-        n = matches.shape[0] > 0
-        m0, m1 = matches[:, 0].astype(int), matches[:, 1].astype(int)
-        for i, gc in enumerate(gt_classes):
-            j = m0 == i
-            if n and j.sum() == 1:
-                self.matrix[det_classes[m1[j][0]], gc] += 1
-            else:
-                self.matrix[self.nc, gc] += 1
-        if n:
-            for i, dc in enumerate(det_classes):
-                if not (m1 == i).any():
-                    self.matrix[dc, self.nc] += 1
+            elected = m - 1 - iou[::-1].argmax(0)         # best label per det
+            d_iou = iou[elected, np.arange(n)]
+            live = d_iou > self.iou_thres
+            if live.any():
+                d_idx = np.nonzero(live)[0]
+                g_idx = elected[d_idx]
+                best = np.zeros(m)
+                np.maximum.at(best, g_idx, d_iou[d_idx])  # best elector per label
+                winner = d_iou[d_idx] == best[g_idx]
+                np.maximum.at(chosen, g_idx[winner], d_idx[winner])
+        matched = chosen >= 0
+        row = np.full(m, self.nc, np.int64)
+        row[matched] = det_cls[chosen[matched]]
+        np.add.at(self.matrix, (row, gt_cls), 1)
+        if matched.any():
+            taken = np.zeros(n, bool)
+            taken[chosen[matched]] = True
+            np.add.at(self.matrix, (det_cls[~taken],
+                                    np.full(int((~taken).sum()), self.nc)), 1)

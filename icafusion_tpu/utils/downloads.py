@@ -36,18 +36,22 @@ class DownloadError(RuntimeError):
     pass
 
 
-def _urlopen(url: str, timeout: float = 30.0):
+def _urlopen(url: str, timeout: float = 30.0, opener=None):
     req = urllib.request.Request(url, headers={"User-Agent": "icafusion-tpu"})
+    if opener is not None:
+        return opener.open(req, timeout=timeout)
     return urllib.request.urlopen(req, timeout=timeout)
 
 
-def safe_download(url: str, file, min_bytes: float = 1e6) -> Path:
+def safe_download(url: str, file, min_bytes: float = 1e6, opener=None) -> Path:
     """Stream url -> file; delete the partial file and raise on failure or if
-    the result is smaller than min_bytes (google_utils.py:46-54 semantics)."""
+    the result is smaller than min_bytes (google_utils.py:46-54 semantics).
+    opener: optional urllib opener (e.g. cookie-carrying, for Drive's
+    confirm-token flow)."""
     file = Path(file)
     file.parent.mkdir(parents=True, exist_ok=True)
     try:
-        with _urlopen(url) as r, open(file, "wb") as f:
+        with _urlopen(url, opener=opener) as r, open(file, "wb") as f:
             shutil.copyfileobj(r, f)
     except Exception as e:
         file.unlink(missing_ok=True)
@@ -104,16 +108,33 @@ _GDRIVE_TOKEN_RE = re.compile(r"confirm=([0-9A-Za-z_\-]+)")
 
 def gdrive_download(file_id: str, file="tmp.zip", unzip: bool = True) -> Path:
     """Google Drive fetch with the large-file confirm-token flow
-    (google_utils.py:59-92); unzips .zip archives next to the file."""
+    (google_utils.py:59-92); unzips .zip archives next to the file.
+
+    The confirm token Drive hands out in the probe response is tied to its
+    download_warning session cookie (the reference threads it through curl's
+    -c/-b cookie jar), so BOTH requests go through one cookie-carrying
+    opener — a fresh opener on the confirmed request would be ignored."""
+    import http.cookiejar
+
     file = Path(file)
     file.unlink(missing_ok=True)
     base = f"https://drive.google.com/uc?export=download&id={file_id}"
+    opener = urllib.request.build_opener(
+        urllib.request.HTTPCookieProcessor(http.cookiejar.CookieJar()))
     try:
-        with _urlopen(base) as r:
+        with _urlopen(base, opener=opener) as r:
             head = r.read(65536)
         m = _GDRIVE_TOKEN_RE.search(head.decode("utf-8", "replace"))
-        url = f"{base}&confirm={m.group(1)}" if m else base
-        safe_download(url, file, min_bytes=1)
+        token = m.group(1) if m else None
+        if token is None:
+            # token may arrive as a cookie (download_warning_<id>=<token>)
+            for handler in opener.handlers:
+                jar = getattr(handler, "cookiejar", None)
+                for c in jar or ():
+                    if c.name.startswith("download_warning"):
+                        token = c.value
+        url = f"{base}&confirm={token}" if token else base
+        safe_download(url, file, min_bytes=1, opener=opener)
     except DownloadError:
         raise
     except Exception as e:

@@ -6,8 +6,9 @@ v5e's MXU runs int8 at 2x the bf16 peak; measured conv speedups including the
 requant epilogue are 1.5-1.8x (BENCH.md). The scheme keeps the graph intact:
 
 - per-Conv static symmetric quantization (zero-point 0): int8 weights with
-  per-output-channel scales, int8 activations with a per-tensor scale
-  calibrated from representative batches (absmax);
+  per-output-channel scales, int8 activations with per-INPUT-channel scales
+  folded into the weights pre-quantization (per-tensor fallback for grouped
+  convs), calibrated from representative batches (absmax);
 - quantize/dequant happen INSIDE each Conv module (nn/layers.py Conv._int8_conv)
   so Concat/Add/SPPF/attention/Detect all stay in bf16/f32 — no graph surgery,
   the Detect head and fusion transformer keep full precision;

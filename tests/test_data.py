@@ -182,3 +182,52 @@ def test_label_validation(tmp_path):
     # duplicate rows removed
     bad.write_text("0 0.5 0.5 0.5 0.5\n0 0.5 0.5 0.5 0.5\n")
     assert len(parse_label_file(str(bad))) == 1
+
+
+def test_rect_val_batches_match_harness_geometry(synth_root):
+    """The product rect-val path (loader.rect_val_batches, cli/val --rect)
+    reproduces the accuracy-parity harness's rect geometry bit-exactly —
+    the geometry tools/accuracy_parity.py proved agrees with the reference's
+    rect pad-0.5 protocol to +0.000 pts (test.py:100, datasets.py:826-872)."""
+    import sys
+    from pathlib import Path
+
+    import cv2
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from accuracy_parity import preprocess
+    from ref_compat import rect_val_shape
+
+    hyp = load_hyp_config()
+    ds = PairedDetectionDataset(str(synth_root / "visible" / "train"),
+                                str(synth_root / "infrared" / "train"),
+                                img_size=320, hyp=hyp, augment=False, nc=3)
+    loader = PairedLoader(ds, batch_size=4, shuffle=False)
+
+    # canvas formula == the harness's rect_val_shape on every image
+    for i in range(len(ds)):
+        h0, w0 = ds.image_shapes()[i]
+        assert ds.rect_val_canvas(i) == rect_val_shape(int(h0), int(w0), 320)
+
+    n_seen, canvases = 0, set()
+    for batch in loader.rect_val_batches():
+        hh, ww = batch["rgb"].shape[1:3]
+        canvases.add((hh, ww))
+        assert hh % 32 == 0 and ww % 32 == 0
+        for k in range(batch["count"]):
+            p = batch["paths"][k]
+            rgb0 = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
+            ir0 = cv2.cvtColor(cv2.imread(p.replace("visible", "infrared")),
+                               cv2.COLOR_BGR2RGB)
+            want_rgb, want_ir, hw0, want_rp = preprocess(rgb0, ir0, (hh, ww),
+                                                         img_size=320)
+            np.testing.assert_array_equal(batch["rgb"][k], want_rgb)
+            np.testing.assert_array_equal(batch["ir"][k], want_ir)
+            (h0, w0), (ratio, pad) = batch["shapes"][k]
+            assert (h0, w0) == hw0
+            np.testing.assert_allclose(ratio, want_rp[0], rtol=1e-9)
+            np.testing.assert_allclose(pad, want_rp[1], rtol=1e-9)
+            n_seen += 1
+    assert n_seen == len(ds)
+    # 3 native aspect ratios in the fixture -> 3 shape groups, each jit'd once
+    assert len(canvases) == 3

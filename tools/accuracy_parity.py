@@ -105,13 +105,17 @@ def filter_degenerate(dets, min_wh: float = 2.0):
     return out
 
 
-def preprocess(rgb, ir, canvas):
+def preprocess(rgb, ir, canvas, img_size=None):
     """Reference val geometry: max-side resize to img_size (load_image,
     datasets.py:1117-1122) then letterbox to the canvas with scaleup=False
-    (datasets.py:964-971). canvas: int (square) or (h, w)."""
+    (datasets.py:964-971). canvas: int (square) or (h, w). img_size: the
+    load_image resize target — defaults to the canvas max side, but the
+    reference's rect protocol keeps it at the REQUESTED size while the
+    pad-0.5 canvas may be up to one stride larger; rect callers pass it."""
     from icafusion_tpu.data.augment import letterbox
     h0, w0 = rgb.shape[:2]
-    S = canvas if isinstance(canvas, int) else max(canvas)
+    S = img_size if img_size is not None else (
+        canvas if isinstance(canvas, int) else max(canvas))
     r = S / max(h0, w0)
     if r != 1:
         interp = cv2.INTER_AREA if r < 1 else cv2.INTER_LINEAR
@@ -139,7 +143,7 @@ def torch_detect(model, pairs, imgsz: int, rect: bool = False,
     t_total = 0.0
     for rgb, ir in pairs:
         canvas = rect_val_shape(*rgb.shape[:2], imgsz) if rect else imgsz
-        rgb_l, ir_l, (h0, w0), ratio_pad = preprocess(rgb, ir, canvas)
+        rgb_l, ir_l, (h0, w0), ratio_pad = preprocess(rgb, ir, canvas, imgsz)
         t0 = time.time()
         with torch.no_grad():
             tx = torch.from_numpy(
@@ -196,7 +200,7 @@ def jax_detect(variables, model, pairs, imgsz: int, rect: bool = False,
             ir_b = np.zeros((batch, hh, ww, 3), np.uint8)
             rps, hws = [], []
             for slot, i in enumerate(padded):
-                rgb_l, ir_l, hw0, rp = preprocess(*pairs[i], canvas)
+                rgb_l, ir_l, hw0, rp = preprocess(*pairs[i], canvas, imgsz)
                 rgb_b[slot], ir_b[slot] = rgb_l, ir_l
                 rps.append(rp)
                 hws.append(hw0)
