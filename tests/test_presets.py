@@ -1,0 +1,65 @@
+"""The shipped configs/ presets make the framework standalone: every model
+YAML parses back to its zoo-factory ModelConfig, every dataset template and
+hyp set loads through the typed config system."""
+
+import sys
+from pathlib import Path
+
+import pytest
+
+ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT / "tools"))
+
+from icafusion_tpu.config import (HypConfig, load_data_config,  # noqa: E402
+                                  load_hyp_config)
+
+
+def test_model_yamls_match_zoo():
+    from gen_model_yamls import all_configs
+
+    from icafusion_tpu.config import load_model_config
+    for fname, cfg, _ in all_configs():
+        path = ROOT / "configs" / "models" / fname
+        assert path.is_file(), f"missing generated preset {fname}"
+        back = load_model_config(str(path), nc=cfg.nc)
+        assert back.layers == cfg.layers, fname
+        assert back.anchors == cfg.anchors, fname
+        assert (back.depth_multiple, back.width_multiple) == \
+            (cfg.depth_multiple, cfg.width_multiple), fname
+
+
+def test_hyp_presets_load():
+    scratch = load_hyp_config(str(ROOT / "configs/hyp/hyp.scratch.yaml"))
+    assert scratch == HypConfig(), \
+        "hyp.scratch.yaml must equal the code defaults"
+    vedai = load_hyp_config(str(ROOT / "configs/hyp/hyp.scratch_VEDAI.yaml"))
+    assert vedai == HypConfig().replace(mosaic=0.0)
+    fine = load_hyp_config(str(ROOT / "configs/hyp/hyp.finetune.yaml"))
+    assert fine.momentum == pytest.approx(0.843)
+    assert fine.mixup == pytest.approx(0.243)
+
+
+def test_data_presets_load():
+    expect = {"flir_align_3class": (3, "person"), "flir_align": (1, "person"),
+              "kaist": (1, "person"), "llvip": (1, "person"),
+              "cvc14": (1, "person"), "vedai": (9, "car")}
+    for stem, (nc, first) in expect.items():
+        dc = load_data_config(str(ROOT / f"configs/data/{stem}.yaml"))
+        assert dc.nc == nc and dc.names[0] == first, stem
+        assert dc.train_rgb and dc.val_ir
+
+
+def test_model_preset_builds():
+    import jax
+    import jax.numpy as jnp
+
+    from icafusion_tpu.config import load_model_config
+    from icafusion_tpu.models import build_model
+    cfg = load_model_config(
+        str(ROOT / "configs/models/yolov5n_NiNfusion.yaml"), nc=1)
+    model = build_model(cfg)
+    x = jnp.zeros((1, 64, 64, 3))
+    v = jax.jit(model.init, static_argnames=("train", "decode"))(
+        {"params": jax.random.PRNGKey(0)}, x, x, train=False, decode=False)
+    maps = model.apply(v, x, x, train=False, decode=False)
+    assert len(maps) == 3
