@@ -19,8 +19,8 @@ pytest.importorskip("torch")
 ROOT = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(ROOT / "tools"))
 
-CKPT = ROOT / "runs/convergence_n320/runs/exp/weights/best.ckpt"
-DATA = ROOT / "runs/convergence_n320/data"
+CKPT = ROOT / "artifacts/trained_n320/stripped.ckpt"
+DATA = ROOT / "artifacts/trained_n320/data"
 
 
 @pytest.fixture(scope="module")

@@ -47,8 +47,11 @@ ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-CKPT_DEFAULT = str(ROOT / "runs/convergence_n320/runs/exp/weights/best.ckpt")
-DATA_DEFAULT = str(ROOT / "runs/convergence_n320/data")
+# committed artifact (fp16 EMA strip of the runs/convergence_n320 run —
+# artifacts/trained_n320/README.md); both frameworks consume the identical
+# post-rounding values, so the cross-framework deltas are unaffected
+CKPT_DEFAULT = str(ROOT / "artifacts/trained_n320/stripped.ckpt")
+DATA_DEFAULT = str(ROOT / "artifacts/trained_n320/data")
 CFG_DEFAULT = "/root/reference/models/transformer/yolov5n_Transfusion_FLIR.yaml"
 
 
