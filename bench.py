@@ -49,6 +49,10 @@ def main():
                     help="serve bf16 (no quantization)")
     ap.add_argument("--train", action="store_true",
                     help="benchmark the training step instead of serving")
+    ap.add_argument("--input-dtype", default="f32", choices=["f32", "bf16"],
+                    help="--train only: dtype of the device-resident image "
+                         "batch (bf16 removes the in-step f32->bf16 "
+                         "convert/layout copy — MFU experiment)")
     args = ap.parse_args()
 
     if args.fp32:
@@ -149,8 +153,9 @@ def bench_train(args):
     tr = Trainer(model=model, hyp=hyp, epochs=60, steps_per_epoch=100,
                  batch_size=B, imgsz=args.imgsz)
     rng = jax.random.PRNGKey(0)
-    rgb = jax.random.uniform(rng, (B, args.imgsz, args.imgsz, 3))
-    ir = jax.random.uniform(jax.random.PRNGKey(1), rgb.shape)
+    in_dtype = jnp.bfloat16 if args.input_dtype == "bf16" else jnp.float32
+    rgb = jax.random.uniform(rng, (B, args.imgsz, args.imgsz, 3)).astype(in_dtype)
+    ir = jax.random.uniform(jax.random.PRNGKey(1), rgb.shape).astype(in_dtype)
     t, m = pad_targets([np.array([[0, 0.5, 0.5, 0.3, 0.3]], np.float32)] * B, 64)
     t, m = jnp.asarray(t), jnp.asarray(m)
     state = tr.init_state(rng, rgb[:1], ir[:1])

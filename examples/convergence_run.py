@@ -67,6 +67,19 @@ def main():
     ap.add_argument("--fusion", default="tfb", choices=["tfb", "nin", "add"],
                     help="fusion family for non-tiny scales (DMFF "
                          "transformer / NiN concat-conv / fixed-weight add)")
+    ap.add_argument("--pretrained", default=None,
+                    help="init weights: a reference-format .pt (converted, "
+                         "stream-remapped if single-stream — train.py:94-99) "
+                         "or one of our .ckpt files")
+    ap.add_argument("--lr0", type=float, default=None,
+                    help="override initial learning rate")
+    ap.add_argument("--adam", action="store_true",
+                    help="Adam optimizer (reference --adam)")
+    ap.add_argument("--gate", type=float, default=0.5,
+                    help="convergence gate on best mAP@0.5")
+    ap.add_argument("--resume", default=None,
+                    help="resume from a last.ckpt of a previous run over the "
+                         "same workdir dataset")
     args = ap.parse_args()
 
     from icafusion_tpu.config import DataConfig, load_hyp_config
@@ -88,6 +101,8 @@ def main():
                           train_rgb="visible/train", val_rgb="visible/val",
                           train_ir="infrared/train", val_ir="infrared/val")
     hyp = load_hyp_config(None).replace(mosaic=0.5, warmup_epochs=2.0)
+    if args.lr0 is not None:
+        hyp = hyp.replace(lr0=args.lr0)
     if args.scale == "tiny":
         mc = tiny_icafusion_config(nc=3)
     elif args.scale == "vgg16":
@@ -100,10 +115,12 @@ def main():
         model_cfg=mc, data_cfg=data_cfg, hyp=hyp,
         epochs=args.epochs, batch_size=args.batch, imgsz=args.imgsz,
         project=str(work / "runs"), name="exp", eval_every=args.eval_every,
-        warmup_min_steps=50, max_targets=32, workers=4))
+        warmup_min_steps=50, max_targets=32, workers=4,
+        pretrained=args.pretrained, adam=args.adam, resume=args.resume))
     print(f"final: mAP50={result['map50']:.4f} best={result['best_fitness']:.4f} "
           f"run={result['run_dir']}")
-    assert result["best_fitness"] > 0.5, "convergence gate: mAP@0.5 must exceed 0.5"
+    assert result["best_fitness"] > args.gate, \
+        f"convergence gate: mAP@0.5 must exceed {args.gate}"
     print("CONVERGENCE OK")
 
 

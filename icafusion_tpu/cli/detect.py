@@ -181,9 +181,12 @@ def detect_streams(args, model, variables, names, stale_timeout: float = 30.0):
                     break
                 _time.sleep(0.005)
                 continue
-            last_seq = src.seq[0]
             t_last_new = _time.time()
             frames = src.read()
+            # snapshot seq AFTER read(): if the reader thread published a new
+            # frame between the staleness check and read(), we got the newer
+            # frame — recording the pre-read seq would reprocess it next loop
+            last_seq = src.seq[0]
             rgb_l, ir_l, im0, _ = frames[0]
             t0 = _time.time()
             dets = infer(variables, jnp.asarray(rgb_l[None]),

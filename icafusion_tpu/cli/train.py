@@ -41,6 +41,9 @@ def parse_args(argv=None):
     ap.add_argument("--accum", default=None,
                     help="gradient accumulation: an integer, or 'auto' for the "
                          "reference nbs=64 rule (train.py:123-124)")
+    ap.add_argument("--adam", action="store_true",
+                    help="Adam optimizer, betas=(momentum, 0.999) "
+                         "(reference train.py:128-146)")
     ap.add_argument("--evolve", type=int, default=0, metavar="N",
                     help="evolve hyperparameters for N generations of short "
                          "runs (reference GA, train.py:590-670)")
@@ -84,7 +87,7 @@ def main(argv=None):
             multi_scale=args.multi_scale, image_weights=args.image_weights,
             autoanchor=not args.noautoanchor,
             accum_steps=resolve_accum(args.accum, args.batch_size),
-            distributed=args.distributed)
+            distributed=args.distributed, adam=args.adam)
 
     if args.evolve:
         # GA over the hyp space: each generation is a short fit() run scored

@@ -51,10 +51,14 @@ def _csp_tower(first_from: int) -> List[list]:
     ]
 
 
-def _panet_head(p3: int, p4: int, p5: int, widths=(512, 256)) -> List[list]:
+def _panet_head(p3: int, p4: int, p5: int, widths=(512, 256),
+                p5_out: int = None) -> List[list]:
     """PANet top-down + bottom-up neck + Detect, generic over fusion indices
-    (yolov5l_Transfusion_FLIR.yaml:47-65)."""
+    (yolov5l_Transfusion_FLIR.yaml:47-65). p5_out: channels of the final
+    bottom-up C3 — defaults to 2*w1 (CSP/ResNet50 families); the reference's
+    VGG16 heads cap it at 512 (yolov5_VGG16_*_FLIR.yaml last C3 row)."""
     w1, w2 = widths
+    p5_out = 2 * w1 if p5_out is None else p5_out
     base = p5 + 1
     return [
         [-1, 1, "Conv", [w1, 1, 1]],                        # base+0
@@ -73,7 +77,7 @@ def _panet_head(p3: int, p4: int, p5: int, widths=(512, 256)) -> List[list]:
 
         [-1, 1, "Conv", [w1, 3, 2]],                        # base+11
         [[-1, base + 0], 1, "Concat", [1]],                 # base+12
-        [-1, 3, "C3", [w1 * 2, "False"]],                   # base+13 P5 out
+        [-1, 3, "C3", [p5_out, "False"]],                   # base+13 P5 out
 
         [[base + 7, base + 10, base + 13], 1, "Detect", ["nc", "anchors"]],
     ]
@@ -155,7 +159,7 @@ def vgg16_icafusion_config(nc: int = 3, fusion: str = "tfb", anchors=COCO_ANCHOR
     ]
     rows = tower(-1) + tower(-4)
     rows += _fusion_rows(fusion, pairs=[(2, 7), (3, 8), (4, 9)], dims=[256, 512, 512])
-    rows += _panet_head(p3=10, p4=11, p5=12)
+    rows += _panet_head(p3=10, p4=11, p5=12, p5_out=512)
     d = dict(nc=nc, depth_multiple=1.0, width_multiple=1.0, anchors=list(anchors),
              backbone=rows[:13], head=rows[13:], name=f"icafusion_vgg16_{fusion}")
     return load_model_config(d, nc=nc)

@@ -51,6 +51,7 @@ class ResNetblock(nn.Module):
     def __call__(self, x, train: bool = False):
         def bn(name):
             return nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         force_float32_reductions=BN_F32_REDUCTIONS,
                                 epsilon=BN_EPS, dtype=self.dtype, name=name)
 
         out = nn.Conv(self.c2, kernel_size=(1, 1), use_bias=False,
@@ -93,6 +94,7 @@ class ResNetlayer(nn.Module):
                         padding=[(3, 3), (3, 3)], use_bias=False,
                         kernel_init=TORCH_CONV_INIT, dtype=self.dtype, name="stem_conv")(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         force_float32_reductions=BN_F32_REDUCTIONS,
                              epsilon=BN_EPS, dtype=self.dtype, name="stem_bn")(x)
             x = jax.nn.relu(x)
             return nn.max_pool(x, window_shape=(3, 3), strides=(2, 2),

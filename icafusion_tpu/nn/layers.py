@@ -28,6 +28,16 @@ Dtype = Any
 BN_MOMENTUM = 0.97
 BN_EPS = 1e-3
 
+# Train-step experiment knob (BENCH.md round-3): accumulate BN batch stats in
+# the compute dtype (bf16) instead of forcing f32 reductions. The ~12 ms of
+# memory-bound convert_reduce on the 64-ch stem maps reads bf16 and writes
+# f32 partials; bf16 accumulation halves the partial traffic at a numerics
+# cost (bf16 tree-sum of ~1.6M elements). Off by default; flip via
+# ICAF_BN_BF16_REDUCE=1 for measurement.
+import os as _os
+
+BN_F32_REDUCTIONS = _os.environ.get("ICAF_BN_BF16_REDUCE", "0") != "1"
+
 # torch Conv2d/Linear default init: kaiming_uniform(a=sqrt(5)) == uniform with
 # var = 1/(3*fan_in). The reference never re-initializes conv weights
 # (initialize_weights only touches BN/activations — torch_utils.py:46-56), so
@@ -36,8 +46,9 @@ TORCH_CONV_INIT = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform
 
 # Opt-in space-to-depth stem rewrite (see Conv). Measured on TPU v5e: XLA's own
 # handling of the 3-channel stem is already good — the rewrite was ~7% SLOWER
-# end-to-end (72.6 vs 67.3 ms/b32 on the flagship), so it stays off by default.
-STEM_S2D_ENABLED = False
+# end-to-end (72.6 vs 67.3 ms/b32 on the flagship), so it stays off by default
+# (ICAF_STEM_S2D=1 enables it, e.g. for train-side measurement).
+STEM_S2D_ENABLED = _os.environ.get("ICAF_STEM_S2D", "0") == "1"
 
 
 def torch_bias_init(fan_in: int):
@@ -126,6 +137,7 @@ class Conv(nn.Module):
                         kernel_init=TORCH_CONV_INIT,
                         dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         force_float32_reductions=BN_F32_REDUCTIONS,
                          epsilon=BN_EPS, dtype=self.dtype, name="bn")(x)
         return _act_fn(self.act)(x)
 
@@ -207,6 +219,7 @@ class BottleneckCSP(nn.Module):
         y2 = nn.Conv(c_, kernel_size=(1, 1), use_bias=False, kernel_init=TORCH_CONV_INIT, dtype=self.dtype, name="cv2")(x)
         y = jnp.concatenate([y1, y2], axis=-1)
         y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         force_float32_reductions=BN_F32_REDUCTIONS,
                          epsilon=BN_EPS, dtype=self.dtype, name="bn")(y)
         y = nn.leaky_relu(y, negative_slope=0.1)
         return Conv(2 * c_, self.c2, 1, 1, dtype=self.dtype, name="cv4")(y, train)
@@ -488,6 +501,7 @@ class BatchNorm2d(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         return nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         force_float32_reductions=BN_F32_REDUCTIONS,
                             epsilon=BN_EPS, dtype=self.dtype, name="bn")(x)
 
 
@@ -608,6 +622,7 @@ class MixConv2d(nn.Module):
                               dtype=self.dtype, name=f"m{g}")(x))
         y = jnp.concatenate(ys, axis=-1)
         y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         force_float32_reductions=BN_F32_REDUCTIONS,
                          epsilon=BN_EPS, dtype=self.dtype, name="bn")(y)
         return x + nn.leaky_relu(y, negative_slope=0.1)
 

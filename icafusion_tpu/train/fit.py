@@ -95,6 +95,9 @@ class FitConfig:
     # gating of csv/ckpt/print side effects (reference DDP env init + rank
     # gates, train.py:567-573, :71/:210/:289/:355/:375)
     distributed: bool = False
+    # torch.optim.Adam instead of SGD (reference --adam, train.py:128-146);
+    # betas=(hyp.momentum, 0.999), same 3 param groups
+    adam: bool = False
 
 
 def fit(cfg: FitConfig) -> dict:
@@ -190,7 +193,7 @@ def fit(cfg: FitConfig) -> dict:
                       steps_per_epoch=loader.steps_per_epoch,
                       batch_size=cfg.batch_size, imgsz=cfg.imgsz,
                       warmup_min_steps=cfg.warmup_min_steps,
-                      accum_steps=accum)
+                      accum_steps=accum, adam=cfg.adam)
 
     sample = next(iter(loader.epoch(0)))
     state = trainer.init_state(jax.random.PRNGKey(cfg.seed),

@@ -161,3 +161,50 @@ class YoloSGD:
         new_buf = jax.tree.map(lambda x: x[1], flat,
                                is_leaf=lambda x: isinstance(x, tuple))
         return new_params, SGDState(momentum=new_buf, step=state.step + 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class YoloAdam(YoloSGD):
+    """The reference's --adam option (train.py:128-146): torch Adam with
+    betas=(hyp.momentum, 0.999), the same 3 param groups (decay on kernels
+    only, L2-into-grad like torch Adam), and the same per-iteration LR warmup.
+    Momentum warmup does not apply — the reference's warmup loop only touches
+    groups carrying a 'momentum' key, which Adam groups lack (train.py:321-323).
+
+    State reuses SGDState with momentum = {'m': tree, 'v': tree} so checkpoint
+    save/resume (utils/checkpoint.py) works unchanged."""
+
+    def init(self, params) -> SGDState:
+        return SGDState(
+            momentum={"m": jax.tree.map(jnp.zeros_like, params),
+                      "v": jax.tree.map(jnp.zeros_like, params)},
+            step=jnp.zeros((), jnp.int32))
+
+    def update(self, grads, state: SGDState, params) -> Tuple[Any, SGDState]:
+        (lr0g, lr1g, lr2g), _ = self.schedules(state.step)
+        lrs = (lr0g, lr1g, lr2g)
+        wd = self.weight_decay
+        b1, b2, eps = self.hyp.momentum, 0.999, 1e-8
+        t = (state.step + 1).astype(jnp.float32)
+        bc1 = 1.0 - b1 ** t
+        bc2 = 1.0 - b2 ** t
+
+        def upd(path, p, g, m, v):
+            grp = param_group(path)
+            if self.freeze_unrouted and _is_unrouted(path):
+                return p, m, v
+            g = g.astype(jnp.float32)
+            if grp == 1:
+                g = g + wd * p
+            m = b1 * m + (1.0 - b1) * g
+            v = b2 * v + (1.0 - b2) * g * g
+            step_sz = lrs[grp] * (m / bc1) / (jnp.sqrt(v / bc2) + eps)
+            return p - step_sz, m, v
+
+        flat = jax.tree_util.tree_map_with_path(
+            lambda path, p, g, m, v: upd(path, p, g, m, v),
+            params, grads, state.momentum["m"], state.momentum["v"])
+        pick = lambda i: jax.tree.map(lambda x: x[i], flat,
+                                      is_leaf=lambda x: isinstance(x, tuple))
+        return pick(0), SGDState(momentum={"m": pick(1), "v": pick(2)},
+                                 step=state.step + 1)

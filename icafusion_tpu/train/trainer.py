@@ -30,7 +30,7 @@ from icafusion_tpu.config import HypConfig
 from icafusion_tpu.models.assembler import ICAFusionModel, anchors_grid_units, model_strides
 from icafusion_tpu.train.ema import EmaState, ema_init, ema_update
 from icafusion_tpu.train.loss import YoloLoss
-from icafusion_tpu.train.optim import SGDState, YoloSGD
+from icafusion_tpu.train.optim import SGDState, YoloAdam, YoloSGD
 
 
 class TrainState(struct.PyTreeNode):
@@ -60,6 +60,7 @@ class Trainer:
     accum_steps: int = 1
     ema_decay: float = 0.9999
     warmup_min_steps: int = 1000
+    adam: bool = False              # reference --adam (train.py:128-146)
 
     def __post_init__(self):
         cfg = self.model.cfg
@@ -68,7 +69,8 @@ class Trainer:
         self.loss_fn = YoloLoss(hyp=self.hyp, nc=cfg.nc, anchors=anchors,
                                 strides=model_strides(cfg),
                                 box_gain=box, obj_gain=obj, cls_gain=cls)
-        self.optimizer = YoloSGD(hyp=self.hyp, epochs=self.epochs,
+        opt_cls = YoloAdam if self.adam else YoloSGD
+        self.optimizer = opt_cls(hyp=self.hyp, epochs=self.epochs,
                                  steps_per_epoch=self.steps_per_epoch,
                                  total_batch_size=self.batch_size * self.accum_steps,
                                  warmup_min_steps=self.warmup_min_steps)

@@ -151,10 +151,15 @@ def remap_single_stream_to_two_stream(state_dict: Dict[str, np.ndarray],
 
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Load a reference .pt checkpoint into {name: np.ndarray}, preferring EMA
-    weights (experimental.py:119). Requires torch (CPU)."""
+    weights (experimental.py:119). Accepts the reference's full checkpoint
+    dict, a bare nn.Module pickle, or a plain state_dict (the
+    tools/export_torch.py --state-dict-only format). Requires torch (CPU)."""
     import torch
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    model = ckpt.get("ema") or ckpt.get("model") if isinstance(ckpt, dict) else ckpt
+    model = ckpt
+    if isinstance(ckpt, dict):
+        # full reference checkpoint layout; a plain state_dict has neither key
+        model = ckpt.get("ema") or ckpt.get("model") or ckpt
     sd = model.float().state_dict() if hasattr(model, "state_dict") else model
     return {k: v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
             for k, v in sd.items()}

@@ -63,3 +63,37 @@ def test_model_preset_builds():
         {"params": jax.random.PRNGKey(0)}, x, x, train=False, decode=False)
     maps = model.apply(v, x, x, train=False, decode=False)
     assert len(maps) == 3
+
+
+def test_zoo_matches_reference_yamls(reference_dir):
+    """Every zoo factory builds the layer-list-identical graph to its
+    reference YAML counterpart (caught live: the VGG16 head's final C3 is
+    512-ch in the reference where the CSP family uses 2*w1)."""
+    from icafusion_tpu.config import load_model_config
+    from icafusion_tpu.models import zoo
+
+    tdir = reference_dir / "models" / "transformer"
+    pairs = []
+    for scale in "nsml":
+        for fusion, rname in (("tfb", "Transfusion"), ("nin", "NiNfusion"),
+                              ("add", "Add")):
+            for ds in ("FLIR", "kaist"):
+                p = tdir / f"yolov5{scale}_{rname}_{ds}.yaml"
+                if p.exists():
+                    pairs.append((zoo.icafusion_config(scale, nc=3, fusion=fusion), p))
+                    break
+    for fusion, rname in (("tfb", "Transfusion"), ("nin", "NiNfusion")):
+        pairs.append((zoo.vgg16_icafusion_config(nc=3, fusion=fusion),
+                      tdir / f"yolov5_VGG16_{rname}_FLIR.yaml"))
+        pairs.append((zoo.resnet50_icafusion_config(nc=3, fusion=fusion),
+                      tdir / f"yolov5_ResNet50_{rname}_FLIR.yaml"))
+    checked = 0
+    for zc, path in pairs:
+        if not path.exists():
+            continue
+        rc = load_model_config(str(path), nc=3)
+        assert zc.layers == rc.layers, path.name
+        assert (zc.depth_multiple, zc.width_multiple) == \
+            (rc.depth_multiple, rc.width_multiple), path.name
+        checked += 1
+    assert checked >= 10, f"only {checked} reference YAMLs found to compare"
