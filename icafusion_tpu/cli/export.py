@@ -32,7 +32,7 @@ def parse_args(argv=None):
     ap.add_argument("--img-size", type=int, default=640)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--include", nargs="+", default=["stablehlo", "weights"],
-                    choices=["stablehlo", "savedmodel", "weights"])
+                    choices=["stablehlo", "savedmodel", "weights", "onnx"])
     ap.add_argument("--nms", action="store_true",
                     help="bake NMS into the exported program")
     ap.add_argument("--conf-thres", type=float, default=0.25)
@@ -119,6 +119,23 @@ def main(argv=None):
             print(f"TF SavedModel: {sm_path}")
             print("  -> ONNX: python -m tf2onnx.convert --saved-model "
                   f"{sm_path} --output {stem}.onnx  (tf2onnx not in this image)")
+
+    if "onnx" in args.include:
+        # direct ONNX, no `onnx` package needed (export/onnx_export.py); the
+        # decode is baked in, NMS stays consumer-side like the reference's
+        # ONNX export (models/export.py:85-107 exports pre-NMS outputs too)
+        import numpy as np
+
+        from icafusion_tpu.export.onnx_export import export_onnx
+        blob = export_onnx(mc, jax.tree.map(np.asarray, variables),
+                           batch=B, imgsz=S)
+        opath = stem.with_suffix(".onnx")
+        opath.write_bytes(blob)
+        print(f"ONNX (opset 13, two-stream, decode included): {opath} "
+              f"({opath.stat().st_size / 1e6:.1f} MB)")
+        if args.nms:
+            print("  note: --nms is not baked into the ONNX graph; run NMS "
+                  "consumer-side (reference parity: export.py emits pre-NMS)")
 
     if "weights" in args.include:
         from flax import serialization

@@ -1,0 +1,164 @@
+"""Numpy reference evaluator for the ONNX subset this framework emits.
+
+Executes a parsed OnnxModel (onnx_proto.load) node by node with plain numpy —
+the validation half of the dependency-free ONNX path: the round-trip test
+(tests/test_onnx_export.py) runs the emitted graph here and compares against
+the JAX forward, covering the serializer, the lowering, and the op semantics
+in one pass. Op semantics follow the ONNX operator spec at opset 13 (padded
+values: -inf for MaxPool; Resize asymmetric/floor == torch nearest,
+half_pixel linear == torch bilinear align_corners=False).
+
+Not a general ONNX runtime: implements exactly the ops the exporter uses.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict
+
+import numpy as np
+
+from icafusion_tpu.export.onnx_proto import OnnxModel
+
+
+def _windows(x: np.ndarray, kh: int, kw: int, sh: int, sw: int) -> np.ndarray:
+    """(N, C, H, W) -> (N, C, OH, OW, kh, kw) strided view."""
+    n, c, h, w = x.shape
+    oh = (h - kh) // sh + 1
+    ow = (w - kw) // sw + 1
+    sn, sc, sy, sx = x.strides
+    return np.lib.stride_tricks.as_strided(
+        x, (n, c, oh, ow, kh, kw), (sn, sc, sy * sh, sx * sw, sy, sx),
+        writeable=False)
+
+
+def _conv(x, w, b, strides, pads, group):
+    py0, px0, py1, px1 = pads
+    xp = np.pad(x, ((0, 0), (0, 0), (py0, py1), (px0, px1)))
+    co, ci_g, kh, kw = w.shape
+    win = _windows(xp, kh, kw, strides[0], strides[1])   # (N,C,OH,OW,kh,kw)
+    n, c, oh, ow = win.shape[:4]
+    if group == 1:
+        y = np.einsum("nchwij,ocij->nohw", win, w, optimize=True)
+    else:
+        cg_out = co // group
+        ys = []
+        for g in range(group):
+            wg = w[g * cg_out:(g + 1) * cg_out]
+            xg = win[:, g * ci_g:(g + 1) * ci_g]
+            ys.append(np.einsum("nchwij,ocij->nohw", xg, wg, optimize=True))
+        y = np.concatenate(ys, axis=1)
+    if b is not None:
+        y = y + b[None, :, None, None]
+    return y.astype(np.float32)
+
+
+def _pool(x, op, k, strides, pads):
+    fill = -np.inf if op == "MaxPool" else 0.0
+    py0, px0, py1, px1 = pads
+    xp = np.pad(x, ((0, 0), (0, 0), (py0, py1), (px0, px1)),
+                constant_values=fill)
+    win = _windows(xp, k[0], k[1], strides[0], strides[1])
+    if op == "MaxPool":
+        return win.max(axis=(4, 5)).astype(np.float32)
+    return win.mean(axis=(4, 5)).astype(np.float32)
+
+
+def _resize(x, sizes, mode, coord, nearest_mode):
+    n, c, h, w = x.shape
+    nh, nw = int(sizes[2]), int(sizes[3])
+    if mode == "nearest":
+        assert coord == "asymmetric" and nearest_mode == "floor", (coord, nearest_mode)
+        iy = np.floor(np.arange(nh) * (h / nh)).astype(np.int64)
+        ix = np.floor(np.arange(nw) * (w / nw)).astype(np.int64)
+        return x[:, :, iy][:, :, :, ix]
+    assert mode == "linear" and coord == "half_pixel", (mode, coord)
+
+    def axis_w(out_n, in_n):
+        src = (np.arange(out_n) + 0.5) * (in_n / out_n) - 0.5
+        i0 = np.clip(np.floor(src), 0, in_n - 1).astype(np.int64)
+        i1 = np.clip(i0 + 1, 0, in_n - 1)
+        t = np.clip(src - np.floor(src), 0.0, 1.0)
+        t = np.where(src < 0, 0.0, np.where(src > in_n - 1, 1.0, t))
+        return i0, i1, t.astype(np.float32)
+
+    y0, y1, ty = axis_w(nh, h)
+    x0, x1, tx = axis_w(nw, w)
+    top = x[:, :, y0][:, :, :, x0] * (1 - tx) + x[:, :, y0][:, :, :, x1] * tx
+    bot = x[:, :, y1][:, :, :, x0] * (1 - tx) + x[:, :, y1][:, :, :, x1] * tx
+    return (top * (1 - ty[None, None, :, None])
+            + bot * ty[None, None, :, None]).astype(np.float32)
+
+
+def _slice(x, starts, ends, axes, steps):
+    sl = [slice(None)] * x.ndim
+    for st, en, ax, sp in zip(starts, ends, axes, steps):
+        sl[int(ax)] = slice(int(st), int(en), int(sp))
+    return x[tuple(sl)]
+
+
+def run(model: OnnxModel, feeds: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Execute the graph; returns {output_name: array}."""
+    env: Dict[str, np.ndarray] = dict(model.initializers)
+    for name, arr in feeds.items():
+        env[name] = np.asarray(arr, np.float32)
+
+    erf = np.vectorize(math.erf, otypes=[np.float32])
+    for node in model.nodes:
+        i = [env[n] if n else None for n in node.inputs]
+        a = node.attrs
+        op = node.op_type
+        if op == "Conv":
+            y = _conv(i[0], i[1], i[2] if len(i) > 2 else None,
+                      a["strides"], a["pads"], a.get("group", 1))
+        elif op in ("MaxPool", "AveragePool"):
+            y = _pool(i[0], op, a["kernel_shape"], a["strides"],
+                      a.get("pads", [0, 0, 0, 0]))
+        elif op == "Resize":
+            y = _resize(i[0], i[3], a["mode"],
+                        a["coordinate_transformation_mode"],
+                        a.get("nearest_mode", "round_prefer_floor"))
+        elif op == "Add":
+            y = i[0] + i[1]
+        elif op == "Sub":
+            y = i[0] - i[1]
+        elif op == "Mul":
+            y = i[0] * i[1]
+        elif op == "Div":
+            y = i[0] / i[1]
+        elif op == "Sqrt":
+            y = np.sqrt(i[0])
+        elif op == "Erf":
+            y = erf(i[0])
+        elif op == "Tanh":
+            y = np.tanh(i[0])
+        elif op == "Sigmoid":
+            with np.errstate(over="ignore"):
+                y = 1.0 / (1.0 + np.exp(-i[0].astype(np.float64)))
+            y = y.astype(np.float32)
+        elif op == "Relu":
+            y = np.maximum(i[0], 0)
+        elif op == "LeakyRelu":
+            y = np.where(i[0] >= 0, i[0], i[0] * a["alpha"])
+        elif op == "Concat":
+            y = np.concatenate(i, axis=a["axis"])
+        elif op == "Reshape":
+            y = i[0].reshape([int(d) for d in i[1]])
+        elif op == "Transpose":
+            y = np.transpose(i[0], a["perm"])
+        elif op == "Slice":
+            y = _slice(i[0], i[1], i[2], i[3], i[4])
+        elif op == "MatMul":
+            y = np.matmul(i[0], i[1]).astype(np.float32)
+        elif op == "Softmax":
+            z = i[0] - i[0].max(axis=a["axis"], keepdims=True)
+            e = np.exp(z)
+            y = (e / e.sum(axis=a["axis"], keepdims=True)).astype(np.float32)
+        elif op == "ReduceMean":
+            y = i[0].mean(axis=tuple(a["axes"]),
+                          keepdims=bool(a.get("keepdims", 1))).astype(np.float32)
+        else:
+            raise NotImplementedError(f"numpy evaluator: op {op}")
+        env[node.outputs[0]] = np.asarray(y, dtype=y.dtype)
+
+    return {name: env[name] for name, _, _ in model.outputs}

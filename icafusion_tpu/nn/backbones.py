@@ -14,7 +14,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from icafusion_tpu.nn.layers import BN_EPS, BN_MOMENTUM, TORCH_CONV_INIT, torch_bias_init
+from icafusion_tpu.nn.layers import (BN_EPS, BN_F32_REDUCTIONS, BN_MOMENTUM,
+                                     TORCH_CONV_INIT, torch_bias_init)
 
 Dtype = Any
 

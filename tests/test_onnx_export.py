@@ -1,0 +1,110 @@
+"""ONNX export round trip: emit (onnx_export) -> parse back (onnx_proto) ->
+execute with the numpy evaluator (onnx_numpy) -> compare against the JAX
+forward at fp32. One pass covers the protobuf serializer, the graph lowering
+(incl. conv+BN folding), and the op semantics.
+
+Counterpart capability of reference models/export.py:85-107 (ONNX opset-12 of
+the single-input model); here the full two-stream graph with decode exports.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from icafusion_tpu.export import onnx_numpy, onnx_proto
+from icafusion_tpu.export.onnx_export import export_onnx
+from icafusion_tpu.models.assembler import build_model
+from icafusion_tpu.models import zoo
+
+
+def _jitter(variables, seed=0):
+    """Randomize params + BN running stats so conv+BN folding is non-trivial."""
+    rng = np.random.default_rng(seed)
+
+    def noise(x):
+        x = np.asarray(x, np.float32)
+        return x + rng.normal(0, 0.05, x.shape).astype(np.float32)
+
+    params = jax.tree.map(noise, variables["params"])
+    out = {"params": params}
+    if "batch_stats" in variables:
+        def stats(path, x):
+            x = np.asarray(x, np.float32)
+            if path[-1].key == "var":
+                return rng.uniform(0.5, 1.5, x.shape).astype(np.float32)
+            return rng.normal(0, 0.1, x.shape).astype(np.float32)
+        out["batch_stats"] = jax.tree_util.tree_map_with_path(
+            stats, variables["batch_stats"])
+    return out
+
+
+def _roundtrip(cfg, imgsz, batch=1, seed=0, tol=2e-3):
+    model = build_model(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(seed)
+    rgb = rng.uniform(0, 1, (batch, imgsz, imgsz, 3)).astype(np.float32)
+    ir = rng.uniform(0, 1, (batch, imgsz, imgsz, 3)).astype(np.float32)
+    variables = model.init({"params": jax.random.PRNGKey(seed)},
+                           jnp.asarray(rgb), jnp.asarray(ir),
+                           train=False, decode=False)
+    variables = _jitter(variables, seed)
+    variables = jax.tree.map(jnp.asarray, variables)
+
+    pred, _, _ = model.apply(variables, jnp.asarray(rgb), jnp.asarray(ir),
+                             train=False, decode=True)
+    pred = np.asarray(pred)
+
+    blob = export_onnx(cfg, jax.tree.map(np.asarray, variables),
+                       batch=batch, imgsz=imgsz)
+    m = onnx_proto.load(blob)
+    assert m.opset == 13 and len(m.outputs) == 1
+    feeds = {"rgb": rgb.transpose(0, 3, 1, 2), "ir": ir.transpose(0, 3, 1, 2)}
+    (out,) = onnx_numpy.run(m, feeds).values()
+
+    assert out.shape == pred.shape, (out.shape, pred.shape)
+    # scale-aware: boxes are in pixels (O(imgsz)), scores in [0,1]
+    np.testing.assert_allclose(out[..., :4], pred[..., :4],
+                               rtol=tol, atol=tol * imgsz)
+    np.testing.assert_allclose(out[..., 4:], pred[..., 4:],
+                               rtol=tol, atol=tol)
+    return m
+
+
+def test_tiny_tfb_roundtrip():
+    m = _roundtrip(zoo.tiny_icafusion_config(nc=3, fusion="tfb"), imgsz=64)
+    ops = {n.op_type for n in m.nodes}
+    # the DMFF path must really be in the graph
+    assert {"Conv", "Softmax", "MatMul", "Resize", "MaxPool"} <= ops
+
+
+def test_tiny_nin_roundtrip():
+    _roundtrip(zoo.tiny_icafusion_config(nc=3, fusion="nin"), imgsz=64)
+
+
+def test_tiny_add_roundtrip():
+    _roundtrip(zoo.tiny_icafusion_config(nc=3, fusion="add"), imgsz=64, batch=2)
+
+
+@pytest.mark.slow
+def test_yolov5n_tfb_roundtrip():
+    """The real model family: yolov5n-Transfusion at the minimum TFB size."""
+    _roundtrip(zoo.icafusion_config("n", nc=3, fusion="tfb"), imgsz=320)
+
+
+@pytest.mark.slow
+def test_vgg16_roundtrip():
+    _roundtrip(zoo.vgg16_icafusion_config(nc=3, fusion="nin"), imgsz=128)
+
+
+@pytest.mark.slow
+def test_resnet50_roundtrip():
+    _roundtrip(zoo.resnet50_icafusion_config(nc=3, fusion="nin"), imgsz=128)
+
+
+def test_unsupported_module_message():
+    cfg = zoo.tiny_icafusion_config(nc=3, fusion="tfb")
+    import dataclasses
+    bad = dataclasses.replace(cfg.layers[0], module="GhostConv")
+    cfg2 = dataclasses.replace(cfg, layers=(bad,) + cfg.layers[1:])
+    with pytest.raises(NotImplementedError, match="no emitter"):
+        export_onnx(cfg2, {"params": {}}, batch=1, imgsz=64)
