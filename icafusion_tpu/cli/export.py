@@ -37,6 +37,10 @@ def parse_args(argv=None):
                     help="bake NMS into the exported program")
     ap.add_argument("--conf-thres", type=float, default=0.25)
     ap.add_argument("--iou-thres", type=float, default=0.45)
+    ap.add_argument("--validate", action="store_true",
+                    help="after ONNX export, execute the emitted graph with the "
+                         "bundled numpy evaluator on a random input and report "
+                         "the max deviation vs the JAX forward")
     ap.add_argument("--out", default=None, help="output stem (default: weights path)")
     return ap.parse_args(argv)
 
@@ -136,6 +140,22 @@ def main(argv=None):
         if args.nms:
             print("  note: --nms is not baked into the ONNX graph; run NMS "
                   "consumer-side (reference parity: export.py emits pre-NMS)")
+        if args.validate:
+            from icafusion_tpu.export import onnx_numpy, onnx_proto
+            rng = np.random.default_rng(0)
+            rgb = rng.uniform(0, 1, (B, S, S, 3)).astype(np.float32)
+            ir = rng.uniform(0, 1, (B, S, S, 3)).astype(np.float32)
+            ref, _, _ = model.apply(variables, jnp.asarray(rgb),
+                                    jnp.asarray(ir), train=False, decode=True)
+            ref = np.asarray(ref, np.float32)
+            m = onnx_proto.load(blob)
+            (out,) = onnx_numpy.run(m, {"rgb": rgb.transpose(0, 3, 1, 2),
+                                        "ir": ir.transpose(0, 3, 1, 2)}).values()
+            box = np.abs(out[..., :4] - ref[..., :4]).max()
+            score = np.abs(out[..., 4:] - ref[..., 4:]).max()
+            print(f"  validate: max |Δbox| {box:.4f} px, "
+                  f"max |Δscore| {score:.2e} vs the JAX forward "
+                  f"({'OK' if box < 0.1 * S / 64 and score < 1e-2 else 'DIVERGED'})")
 
     if "weights" in args.include:
         from flax import serialization
