@@ -125,21 +125,21 @@ def main(argv=None):
                   f"{sm_path} --output {stem}.onnx  (tf2onnx not in this image)")
 
     if "onnx" in args.include:
-        # direct ONNX, no `onnx` package needed (export/onnx_export.py); the
-        # decode is baked in, NMS stays consumer-side like the reference's
-        # ONNX export (models/export.py:85-107 exports pre-NMS outputs too)
+        # direct ONNX, no `onnx` package needed (export/onnx_export.py);
+        # decode is always baked in; --nms additionally bakes a standard
+        # NonMaxSuppression tail (the reference's ONNX export is pre-NMS
+        # only, models/export.py:85-107)
         import numpy as np
 
         from icafusion_tpu.export.onnx_export import export_onnx
+        nms_opts = (args.conf_thres, args.iou_thres, 300) if args.nms else None
         blob = export_onnx(mc, jax.tree.map(np.asarray, variables),
-                           batch=B, imgsz=S)
+                           batch=B, imgsz=S, nms=nms_opts)
         opath = stem.with_suffix(".onnx")
         opath.write_bytes(blob)
-        print(f"ONNX (opset 13, two-stream, decode included): {opath} "
+        print(f"ONNX (opset 13, two-stream, decode"
+              f"{'+NMS' if args.nms else ''} included): {opath} "
               f"({opath.stat().st_size / 1e6:.1f} MB)")
-        if args.nms:
-            print("  note: --nms is not baked into the ONNX graph; run NMS "
-                  "consumer-side (reference parity: export.py emits pre-NMS)")
         if args.validate:
             from icafusion_tpu.export import onnx_numpy, onnx_proto
             rng = np.random.default_rng(0)
@@ -147,15 +147,37 @@ def main(argv=None):
             ir = rng.uniform(0, 1, (B, S, S, 3)).astype(np.float32)
             ref, _, _ = model.apply(variables, jnp.asarray(rgb),
                                     jnp.asarray(ir), train=False, decode=True)
-            ref = np.asarray(ref, np.float32)
             m = onnx_proto.load(blob)
             (out,) = onnx_numpy.run(m, {"rgb": rgb.transpose(0, 3, 1, 2),
                                         "ir": ir.transpose(0, 3, 1, 2)}).values()
-            box = np.abs(out[..., :4] - ref[..., :4]).max()
-            score = np.abs(out[..., 4:] - ref[..., 4:]).max()
-            print(f"  validate: max |Δbox| {box:.4f} px, "
-                  f"max |Δscore| {score:.2e} vs the JAX forward "
-                  f"({'OK' if box < 0.1 * S / 64 and score < 1e-2 else 'DIVERGED'})")
+            if args.nms:
+                from icafusion_tpu.ops.nms import (detections_to_numpy,
+                                                   non_max_suppression)
+                dets = detections_to_numpy(non_max_suppression(
+                    ref, conf_thres=args.conf_thres, iou_thres=args.iou_thres,
+                    multi_label=True, max_det=300, top_k=4096))
+                want = np.concatenate(
+                    [np.c_[np.full(len(d), bi), d]
+                     for bi, d in enumerate(dets)]) if any(
+                         len(d) for d in dets) else np.zeros((0, 7))
+                order = lambda d: d[np.lexsort(
+                    (-d[:, 5], d[:, 6], d[:, 0]))]  # batch, cls, score desc
+                got, want = order(out), order(want)
+                if len(got) == len(want):
+                    box = np.abs(got[:, 1:5] - want[:, 1:5]).max(initial=0)
+                    print(f"  validate (NMS baked): {len(got)} detections, "
+                          f"max |Δbox| {box:.4f} px vs ops/nms.py "
+                          f"({'OK' if box < 0.1 else 'DIVERGED'})")
+                else:
+                    print(f"  validate (NMS baked): DIVERGED — {len(got)} "
+                          f"onnx vs {len(want)} framework detections")
+            else:
+                ref = np.asarray(ref, np.float32)
+                box = np.abs(out[..., :4] - ref[..., :4]).max()
+                score = np.abs(out[..., 4:] - ref[..., 4:]).max()
+                print(f"  validate: max |Δbox| {box:.4f} px, "
+                      f"max |Δscore| {score:.2e} vs the JAX forward "
+                      f"({'OK' if box < 0.1 * S / 64 and score < 1e-2 else 'DIVERGED'})")
 
     if "weights" in args.include:
         from flax import serialization

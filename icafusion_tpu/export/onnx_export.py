@@ -235,10 +235,12 @@ def _conv_kernel(p: dict) -> np.ndarray:
 class Exporter:
     """Walks the resolved layer list and emits ONNX nodes per module."""
 
-    def __init__(self, cfg, variables: dict):
+    def __init__(self, cfg, variables: dict,
+                 nms: Optional[Tuple[float, float, int]] = None):
         self.cfg = cfg
         self.params = variables["params"]
         self.stats = variables.get("batch_stats", {})
+        self.nms = nms                    # (conf_thres, iou_thres, max_det)
         self.b = Builder()
 
     # -- primitive emitters -------------------------------------------------
@@ -480,6 +482,54 @@ class Exporter:
             outs.append(self.b.reshape(out, (b_, ny * nx * na, no)))
         return self.b.concat(outs, axis=1)
 
+    def nms_tail(self, pred: str, conf_thres: float, iou_thres: float,
+                 max_det: int) -> str:
+        """Bake NMS into the graph via the standard NonMaxSuppression op.
+
+        The reference's ONNX export stops at the pre-NMS prediction tensor
+        (models/export.py:85-107, NMS left to the consumer); this tail goes
+        further and emits final detections. Semantics match ops/nms.py with
+        multi_label=True (the reference's eval-mode NMS, general.py:566-568):
+        per-class greedy suppression at iou_thres on conf = obj*cls, score
+        gate conf > conf_thres (the reference's obj>conf candidate gate is
+        implied: conf <= obj since cls is a sigmoid), up to max_det keeps
+        per class (ONNX caps per class where ops/nms.py caps the padded
+        total; equal whenever max_det is not binding).
+
+        Output: (num_dets, 7) float32 rows [batch, x1, y1, x2, y2, conf, cls]
+        with a dynamic (data-dependent) first dimension — batch id first so
+        multi-image exports stay splittable.
+        """
+        b = self.b
+        _, _, no = b.shape[pred]
+        boxes = b.slice(pred, [0], [4], [2])           # (B,N,4) xywh center
+        obj = b.slice(pred, [4], [5], [2])             # (B,N,1)
+        cls = b.slice(pred, [5], [no], [2])            # (B,N,nc)
+        scores = b.transpose(b.mul(cls, obj), (0, 2, 1))   # (B,nc,N)
+        sel = b.node(
+            "NonMaxSuppression",
+            [boxes, scores,
+             b.init("max_out", np.asarray([max_det], np.int64)),
+             b.init("iou_t", np.asarray([iou_thres], np.float32)),
+             b.init("score_t", np.asarray([conf_thres], np.float32))],
+            (-1, 3), {"center_point_box": 1}, stem="nms")    # (S,3) i64
+        xy = b.slice(boxes, [0], [2], [2])
+        half = b.mul(b.slice(boxes, [2], [4], [2]), b.const(np.float32(0.5)))
+        xyxy = b.concat([b.sub(xy, half), b.add(xy, half)], axis=2)
+        bi = b.slice(sel, [0], [1], [1])               # (S,1) each, i64
+        ci = b.slice(sel, [1], [2], [1])
+        di = b.slice(sel, [2], [3], [1])
+        box_sel = b.node("GatherND", [xyxy, b.concat([bi, di], axis=1)],
+                         (-1, 4))
+        sc = b.node("GatherND", [scores, sel], (-1,))
+        sc = b.node("Unsqueeze",
+                    [sc, b.init("axes", np.asarray([1], np.int64))], (-1, 1))
+
+        def to_f(t):
+            return b.node("Cast", [t], b.shape[t], {"to": P.FLOAT})
+
+        return b.concat([to_f(bi), box_sel, sc, to_f(ci)], axis=1)
+
     # -- driver -------------------------------------------------------------
     def run(self, batch: int, imgsz: int) -> bytes:
         cfg = self.cfg
@@ -506,11 +556,18 @@ class Exporter:
         n, npred, no = self.b.shape[pred]
         inputs = [P.value_info("rgb", P.FLOAT, self.b.shape["rgb"]),
                   P.value_info("ir", P.FLOAT, self.b.shape["ir"])]
-        outputs = [P.value_info(pred, P.FLOAT, (n, npred, no))]
+        if self.nms:
+            dets = self.nms_tail(pred, *self.nms)
+            outputs = [P.value_info(dets, P.FLOAT, ("num_dets", 7))]
+            doc = ("two-stream ICAFusion detector (rgb, ir) NCHW [0,1] -> "
+                   "(num_dets, 7) [batch, x1, y1, x2, y2, conf, cls]; NMS "
+                   "baked in (conf %.3g, iou %.3g, max %d/class)" % self.nms)
+        else:
+            outputs = [P.value_info(pred, P.FLOAT, (n, npred, no))]
+            doc = "two-stream ICAFusion detector (rgb, ir) NCHW [0,1] -> (b, N, 5+nc)"
         g = P.graph_proto(self.b.nodes, cfg.name or "icafusion",
                           self.b.inits, inputs, outputs)
-        return P.model_proto(g, doc="two-stream ICAFusion detector "
-                                    "(rgb, ir) NCHW [0,1] -> (b, N, 5+nc)")
+        return P.model_proto(g, doc=doc)
 
     def emit(self, r, inp):
         m = r.module
@@ -595,8 +652,12 @@ def _to_bool(v):
     return bool(v)
 
 
-def export_onnx(cfg, variables: dict, batch: int = 1, imgsz: int = 640) -> bytes:
+def export_onnx(cfg, variables: dict, batch: int = 1, imgsz: int = 640,
+                nms: Optional[Tuple[float, float, int]] = None) -> bytes:
     """Serialize the two-stream detector to ONNX bytes (opset 13, NCHW,
     decode included — boxes in pixels). `variables` is the eval-mode flax
-    variables dict {params, batch_stats}."""
-    return Exporter(cfg, variables).run(batch, imgsz)
+    variables dict {params, batch_stats}. ``nms=(conf_thres, iou_thres,
+    max_det)`` additionally bakes NonMaxSuppression into the graph, making
+    the output final (num_dets, 7) detections (see Exporter.nms_tail) —
+    the reference's ONNX export has no such option (models/export.py:85-107)."""
+    return Exporter(cfg, variables, nms=nms).run(batch, imgsz)

@@ -18,7 +18,9 @@ from typing import Dict
 
 import numpy as np
 
-from icafusion_tpu.export.onnx_proto import OnnxModel
+from icafusion_tpu.export.onnx_proto import _ONNX_TO_NP, OnnxModel
+
+N_MAX = 1 << 62   # NonMaxSuppression default: no per-class cap
 
 
 def _windows(x: np.ndarray, kh: int, kw: int, sh: int, sw: int) -> np.ndarray:
@@ -90,6 +92,41 @@ def _resize(x, sizes, mode, coord, nearest_mode):
             + bot * ty[None, None, :, None]).astype(np.float32)
 
 
+def _nms(boxes, scores, max_per_class, iou_t, score_t, center_point_box):
+    """ONNX NonMaxSuppression: boxes (B,N,4), scores (B,C,N) ->
+    selected_indices (S,3) int64 rows [batch, class, box], selected in
+    batch-major / class-major / score-descending order (onnxruntime order)."""
+    B, C, N = scores.shape
+    if center_point_box:
+        xy, wh = boxes[..., :2], boxes[..., 2:4]
+        corners = np.concatenate([xy - wh / 2, xy + wh / 2], axis=-1)
+    else:                       # spec layout [y1,x1,y2,x2] -> [x1,y1,x2,y2]
+        corners = boxes[..., [1, 0, 3, 2]]
+    sel = []
+    for bi in range(B):
+        bx = corners[bi]
+        area = np.clip(bx[:, 2] - bx[:, 0], 0, None) * \
+            np.clip(bx[:, 3] - bx[:, 1], 0, None)
+        for ci in range(C):
+            sc = scores[bi, ci]
+            cand = np.nonzero(sc > score_t)[0] if score_t is not None \
+                else np.arange(N)
+            cand = cand[np.argsort(-sc[cand], kind="stable")]
+            keep: list = []
+            for j in cand:
+                if len(keep) >= max_per_class:
+                    break
+                kb = bx[keep]
+                lt = np.maximum(kb[:, :2], bx[j, :2])
+                rb = np.minimum(kb[:, 2:], bx[j, 2:])
+                inter = np.clip(rb - lt, 0, None).prod(-1)
+                iou = inter / (area[keep] + area[j] - inter + 1e-16)
+                if not len(keep) or (iou <= iou_t).all():
+                    keep.append(int(j))
+            sel += [[bi, ci, j] for j in keep]
+    return np.asarray(sel, np.int64).reshape(-1, 3)
+
+
 def _slice(x, starts, ends, axes, steps):
     sl = [slice(None)] * x.ndim
     for st, en, ax, sp in zip(starts, ends, axes, steps):
@@ -157,6 +194,19 @@ def run(model: OnnxModel, feeds: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]
         elif op == "ReduceMean":
             y = i[0].mean(axis=tuple(a["axes"]),
                           keepdims=bool(a.get("keepdims", 1))).astype(np.float32)
+        elif op == "NonMaxSuppression":
+            y = _nms(i[0], i[1],
+                     int(i[2][0]) if len(i) > 2 and i[2] is not None else N_MAX,
+                     float(i[3][0]) if len(i) > 3 and i[3] is not None else 0.0,
+                     float(i[4][0]) if len(i) > 4 and i[4] is not None else None,
+                     a.get("center_point_box", 0))
+        elif op == "GatherND":
+            idx = i[1].astype(np.int64)
+            y = i[0][tuple(idx.T)]
+        elif op == "Cast":
+            y = i[0].astype(_ONNX_TO_NP[a["to"]])
+        elif op == "Unsqueeze":
+            y = np.expand_dims(i[0], tuple(int(ax) for ax in i[1]))
         else:
             raise NotImplementedError(f"numpy evaluator: op {op}")
         env[node.outputs[0]] = np.asarray(y, dtype=y.dtype)

@@ -130,10 +130,14 @@ def node_proto(op_type: str, inputs: List[str], outputs: List[str],
     return out
 
 
-def value_info(name: str, elem_type: int, shape: Tuple[int, ...]) -> bytes:
+def value_info(name: str, elem_type: int, shape: Tuple[Union[int, str], ...]) -> bytes:
     """ValueInfoProto{name=1,type=2} / TypeProto{tensor_type=1} /
-    Tensor{elem_type=1,shape=2} / TensorShapeProto{dim=1} / Dim{dim_value=1}."""
-    dims = b"".join(_ld(1, _vint(1, d)) for d in shape)
+    Tensor{elem_type=1,shape=2} / TensorShapeProto{dim=1} /
+    Dim{dim_value=1, dim_param=2}. A str dim emits dim_param (dynamic —
+    used for the data-dependent NonMaxSuppression output count)."""
+    dims = b"".join(
+        _ld(1, _ld(2, d.encode()) if isinstance(d, str) else _vint(1, d))
+        for d in shape)
     tensor = _vint(1, elem_type) + _ld(2, dims)
     return _ld(1, name.encode()) + _ld(2, _ld(1, tensor))
 

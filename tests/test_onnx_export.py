@@ -101,6 +101,57 @@ def test_resnet50_roundtrip():
     _roundtrip(zoo.resnet50_icafusion_config(nc=3, fusion="nin"), imgsz=128)
 
 
+def test_nms_baked_matches_framework_nms():
+    """--nms ONNX tail: NonMaxSuppression baked into the graph must yield the
+    same detection set as ops/nms.py with multi_label=True (the reference's
+    eval-mode NMS semantics, general.py:566-568) on the same decoded pred."""
+    from icafusion_tpu.ops.nms import detections_to_numpy, non_max_suppression
+
+    cfg = zoo.tiny_icafusion_config(nc=3, fusion="tfb")
+    imgsz, batch, conf_t, iou_t = 64, 2, 0.25, 0.45
+    # max_det large enough that neither cap binds: ops/nms.py caps the global
+    # padded total where ONNX NonMaxSuppression caps per class — the two only
+    # define the same set when the caps are not hit (documented in nms_tail)
+    max_det = 512
+    model = build_model(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(7)
+    rgb = rng.uniform(0, 1, (batch, imgsz, imgsz, 3)).astype(np.float32)
+    ir = rng.uniform(0, 1, (batch, imgsz, imgsz, 3)).astype(np.float32)
+    variables = model.init({"params": jax.random.PRNGKey(7)},
+                           jnp.asarray(rgb), jnp.asarray(ir),
+                           train=False, decode=False)
+    variables = jax.tree.map(jnp.asarray, _jitter(variables, 7))
+
+    pred, _, _ = model.apply(variables, jnp.asarray(rgb), jnp.asarray(ir),
+                             train=False, decode=True)
+    dets = detections_to_numpy(non_max_suppression(
+        pred, conf_thres=conf_t, iou_thres=iou_t, multi_label=True,
+        max_det=max_det, top_k=4096))
+    want = np.concatenate([np.c_[np.full(len(d), bi), d]
+                           for bi, d in enumerate(dets)])
+    assert len(want) > 0, "degenerate test: no detections above threshold"
+
+    blob = export_onnx(cfg, jax.tree.map(np.asarray, variables),
+                       batch=batch, imgsz=imgsz, nms=(conf_t, iou_t, max_det))
+    m = onnx_proto.load(blob)
+    assert "NonMaxSuppression" in {n.op_type for n in m.nodes}
+    assert m.outputs[0][2] == (-1, 7)   # dynamic num_dets dim round-trips
+    (out,) = onnx_numpy.run(m, {"rgb": rgb.transpose(0, 3, 1, 2),
+                                "ir": ir.transpose(0, 3, 1, 2)}).values()
+
+    # same multiset of detections; order differs (ONNX: batch/class-major)
+    def order(d):
+        return d[np.lexsort((-d[:, 5], d[:, 6], d[:, 0]))]
+
+    got, want = order(out), order(want)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_array_equal(got[:, 0], want[:, 0])        # batch ids
+    np.testing.assert_array_equal(got[:, 6], want[:, 6])        # classes
+    np.testing.assert_allclose(got[:, 1:5], want[:, 1:5],
+                               rtol=2e-3, atol=2e-3 * imgsz)    # boxes
+    np.testing.assert_allclose(got[:, 5], want[:, 5], rtol=2e-3, atol=2e-3)
+
+
 def test_unsupported_module_message():
     cfg = zoo.tiny_icafusion_config(nc=3, fusion="tfb")
     import dataclasses
