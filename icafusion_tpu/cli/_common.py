@@ -22,14 +22,16 @@ def setup_jax():
 
 def resolve_model_config(cfg: str, nc=None):
     """A YAML path, or a zoo spec 'zoo:<fusion>:<scale>' (e.g. zoo:tfb:l),
-    'zoo:vgg16:<fusion>', 'zoo:resnet50:<fusion>', 'zoo:tiny'."""
+    'zoo:vgg16:<fusion>', 'zoo:resnet50:<fusion>', 'zoo:tiny[:<fusion>]'.
+    Fusions: tfb, nin, add, dmaf."""
     from icafusion_tpu.config import load_model_config
     from icafusion_tpu.models import zoo
 
     if cfg.startswith("zoo:"):
         parts = cfg.split(":")[1:]
         if parts[0] == "tiny":
-            return zoo.tiny_icafusion_config(nc=nc or 3)
+            return zoo.tiny_icafusion_config(
+                nc=nc or 3, fusion=parts[1] if len(parts) > 1 else "tfb")
         if parts[0] == "vgg16":
             return zoo.vgg16_icafusion_config(nc=nc or 3, fusion=parts[1] if len(parts) > 1 else "tfb")
         if parts[0] == "resnet50":

@@ -165,9 +165,13 @@ def main(argv=None):
                 got, want = order(out), order(want)
                 if len(got) == len(want):
                     box = np.abs(got[:, 1:5] - want[:, 1:5]).max(initial=0)
+                    score = np.abs(got[:, 5] - want[:, 5]).max(initial=0)
+                    ids = np.abs(got[:, [0, 6]] - want[:, [0, 6]]).max(initial=0)
+                    ok = box < 0.1 and score < 1e-3 and ids == 0
                     print(f"  validate (NMS baked): {len(got)} detections, "
-                          f"max |Δbox| {box:.4f} px vs ops/nms.py "
-                          f"({'OK' if box < 0.1 else 'DIVERGED'})")
+                          f"max |Δbox| {box:.4f} px, |Δscore| {score:.2e}, "
+                          f"batch/cls mismatches {int(ids != 0)} vs ops/nms.py "
+                          f"({'OK' if ok else 'DIVERGED'})")
                 else:
                     print(f"  validate (NMS baked): DIVERGED — {len(got)} "
                           f"onnx vs {len(want)} framework detections")

@@ -28,6 +28,7 @@ import numpy as np
 from icafusion_tpu.export import onnx_proto as P
 from icafusion_tpu.models.assembler import resolve_model
 from icafusion_tpu.models.detect import check_anchor_order, default_strides
+from icafusion_tpu.nn.layers import _pair, autopad as _autopad
 
 LN_EPS = 1e-6   # flax nn.LayerNorm default, used by the fusion transformer
 BN_EPS = 1e-3   # icafusion_tpu.nn.layers.BN_EPS
@@ -185,31 +186,29 @@ class Builder:
             "pads": [int(pads[0]), int(pads[1]), int(pads[0]), int(pads[1])]})
 
     def resize(self, x, out_hw: Tuple[int, int], mode: str) -> str:
-        """mode 'nearest' (asymmetric/floor — torch nearest) or 'linear'
-        (half_pixel — torch bilinear align_corners=False / jax 'linear')."""
+        """mode 'nearest' or 'linear' (half_pixel — torch bilinear
+        align_corners=False / jax 'linear').
+
+        Nearest follows the framework's Upsample (layers.py:482-493): an
+        integer upscale is an exact repeat, which asymmetric/floor (== torch
+        nearest) reproduces; any other ratio runs jax.image.resize, whose
+        half-pixel source centers floor((i+0.5)*in/out) are exactly ONNX
+        half_pixel + round_prefer_ceil."""
         n, c, h, w = self.shape[x]
         sizes = self.init("sizes", np.asarray([n, c, *out_hw], np.int64))
-        attrs = {"mode": mode,
-                 "coordinate_transformation_mode":
-                     "asymmetric" if mode == "nearest" else "half_pixel"}
+        attrs = {"mode": mode, "coordinate_transformation_mode": "half_pixel"}
         if mode == "nearest":
-            attrs["nearest_mode"] = "floor"
+            if out_hw[0] % h == 0 and out_hw[1] % w == 0:
+                attrs["coordinate_transformation_mode"] = "asymmetric"
+                attrs["nearest_mode"] = "floor"
+            else:
+                attrs["nearest_mode"] = "round_prefer_ceil"
         return self.node("Resize", [x, "", "", sizes], (n, c, *out_hw), attrs)
 
 
 # ---------------------------------------------------------------------------
 # module emitters (mirror icafusion_tpu.nn layer semantics, NCHW)
 # ---------------------------------------------------------------------------
-
-def _autopad(k, p=None):
-    if p is None:
-        return k // 2 if isinstance(k, int) else tuple(x // 2 for x in k)
-    return p
-
-
-def _pair(v):
-    return (v, v) if isinstance(v, int) else tuple(v)
-
 
 def _fold_bn(kernel_hwio: np.ndarray, bn_p: dict, bn_s: dict,
              bias: Optional[np.ndarray] = None,
@@ -268,6 +267,29 @@ class Exporter:
         y2 = self.conv_mod(x, p["cv2"], s["cv2"], 1, 1)
         y = self.b.concat([y1, y2], axis=1)
         return self.conv_mod(y, p["cv3"], s["cv3"], 1, 1)
+
+    def bottleneck_csp(self, x: str, p: dict, s: dict, c1: int, c2: int,
+                       n: int, shortcut: bool = True, g: int = 1,
+                       e: float = 0.5) -> str:
+        """layers.BottleneckCSP: v4-style CSP with bare cv2/cv3 convs, a
+        standalone BN on the concat, and a LeakyReLU(0.1) mix."""
+        c_ = int(c2 * e)
+        y1 = self.conv_mod(x, p["cv1"], s["cv1"], 1, 1)
+        for i in range(n):
+            y1 = self.bottleneck(y1, p[f"m{i}"], s[f"m{i}"], c_, c_, shortcut, g)
+        y1 = self.b.conv(y1, _conv_kernel(p["cv3"]), None)
+        y2 = self.b.conv(x, _conv_kernel(p["cv2"]), None)
+        y = self.b.concat([y1, y2], axis=1)
+        gamma = np.asarray(p["bn"]["scale"], np.float32)
+        beta = np.asarray(p["bn"]["bias"], np.float32)
+        mean = np.asarray(s["bn"]["mean"], np.float32)
+        var = np.asarray(s["bn"]["var"], np.float32)
+        scale = gamma / np.sqrt(var + BN_EPS)
+        y = self.b.add(
+            self.b.mul(y, self.b.const(scale.reshape(1, -1, 1, 1))),
+            self.b.const((beta - mean * scale).reshape(1, -1, 1, 1)))
+        y = self.b.leaky_relu(y, 0.1)
+        return self.conv_mod(y, p["cv4"], s["cv4"], 1, 1)
 
     def sppf(self, x: str, p: dict, s: dict, k: int = 5) -> str:
         x = self.conv_mod(x, p["cv1"], s["cv1"], 1, 1)
@@ -602,7 +624,14 @@ class Exporter:
                                    a[3] if len(a) > 3 else 1)
         if m == "C3":
             return self.c3(inp, p, s, a[0], a[1], a[2],
-                           _to_bool(a[3]) if len(a) > 3 else True)
+                           _to_bool(a[3]) if len(a) > 3 else True,
+                           a[4] if len(a) > 4 else 1,
+                           a[5] if len(a) > 5 else 0.5)
+        if m == "BottleneckCSP":
+            return self.bottleneck_csp(inp, p, s, a[0], a[1], a[2],
+                                       _to_bool(a[3]) if len(a) > 3 else True,
+                                       a[4] if len(a) > 4 else 1,
+                                       a[5] if len(a) > 5 else 0.5)
         if m == "SPPF":
             return self.sppf(inp, p, s, a[2] if len(a) > 2 else 5)
         if m == "SPP":
@@ -614,7 +643,11 @@ class Exporter:
                               a[5] if len(a) > 5 else 1,
                               a[6] if len(a) > 6 else True)
         if m == "Concat":
-            return b.concat(list(inp), axis=1)
+            # layers.Concat: YAML dim 1 means channels; any other value is an
+            # NHWC axis, remapped here to this graph's NCHW layout.
+            d = a[0] if a else 1
+            ax = 1 if d == 1 else {0: 0, 1: 2, 2: 3, 3: 1}[d % 4]
+            return b.concat(list(inp), axis=ax)
         if m == "Upsample":
             _, _, h, w = b.shape[inp]
             size, scale = a[0], a[1] if len(a) > 1 else None
@@ -625,6 +658,10 @@ class Exporter:
         if m == "Add":
             half = b.const(np.float32(0.5))
             return b.add(b.mul(inp[0], half), b.mul(inp[1], half))
+        if m == "DMAF":
+            return self.dmaf(list(inp))
+        if m == "Add2":
+            return b.add(inp[0], inp[1][a[1]])
         if m == "NiNfusion":
             return self.nin_fusion(list(inp), p)
         if m == "TransformerFusionBlock":
@@ -642,8 +679,8 @@ class Exporter:
             return self.detect(list(inp), p, nc, anchors)
         raise NotImplementedError(
             f"ONNX export: module {m!r} (layer {r.i}) has no emitter; "
-            "supported: CSP/VGG16/ResNet50 towers, Transfusion/NiNfusion/Add "
-            "fusion, PANet, Detect")
+            "supported: CSP/VGG16/ResNet50 towers, Transfusion/NiNfusion/"
+            "Add/DMAF+Add2 fusion, BottleneckCSP, PANet, Detect")
 
 
 def _to_bool(v):

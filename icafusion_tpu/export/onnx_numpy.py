@@ -5,8 +5,10 @@ the validation half of the dependency-free ONNX path: the round-trip test
 (tests/test_onnx_export.py) runs the emitted graph here and compares against
 the JAX forward, covering the serializer, the lowering, and the op semantics
 in one pass. Op semantics follow the ONNX operator spec at opset 13 (padded
-values: -inf for MaxPool; Resize asymmetric/floor == torch nearest,
-half_pixel linear == torch bilinear align_corners=False).
+values: -inf for MaxPool, excluded from AveragePool means per the default
+count_include_pad=0; Resize asymmetric/floor == torch nearest, half_pixel
+round_prefer_ceil == jax.image.resize nearest, half_pixel linear == torch
+bilinear align_corners=False).
 
 Not a general ONNX runtime: implements exactly the ops the exporter uses.
 """
@@ -19,8 +21,6 @@ from typing import Dict
 import numpy as np
 
 from icafusion_tpu.export.onnx_proto import _ONNX_TO_NP, OnnxModel
-
-N_MAX = 1 << 62   # NonMaxSuppression default: no per-class cap
 
 
 def _windows(x: np.ndarray, kh: int, kw: int, sh: int, sw: int) -> np.ndarray:
@@ -55,7 +55,7 @@ def _conv(x, w, b, strides, pads, group):
     return y.astype(np.float32)
 
 
-def _pool(x, op, k, strides, pads):
+def _pool(x, op, k, strides, pads, count_include_pad=0):
     fill = -np.inf if op == "MaxPool" else 0.0
     py0, px0, py1, px1 = pads
     xp = np.pad(x, ((0, 0), (0, 0), (py0, py1), (px0, px1)),
@@ -63,16 +63,29 @@ def _pool(x, op, k, strides, pads):
     win = _windows(xp, k[0], k[1], strides[0], strides[1])
     if op == "MaxPool":
         return win.max(axis=(4, 5)).astype(np.float32)
-    return win.mean(axis=(4, 5)).astype(np.float32)
+    if count_include_pad or not any(pads):
+        return win.mean(axis=(4, 5)).astype(np.float32)
+    # spec default count_include_pad=0: divide by the number of non-pad cells
+    ones = np.pad(np.ones(x.shape[2:], np.float32),
+                  ((py0, py1), (px0, px1)))[None, None]
+    cnt = _windows(ones, k[0], k[1], strides[0], strides[1]).sum(axis=(4, 5))
+    return (win.sum(axis=(4, 5)) / cnt).astype(np.float32)
 
 
 def _resize(x, sizes, mode, coord, nearest_mode):
     n, c, h, w = x.shape
     nh, nw = int(sizes[2]), int(sizes[3])
     if mode == "nearest":
-        assert coord == "asymmetric" and nearest_mode == "floor", (coord, nearest_mode)
-        iy = np.floor(np.arange(nh) * (h / nh)).astype(np.int64)
-        ix = np.floor(np.arange(nw) * (w / nw)).astype(np.int64)
+        if coord == "asymmetric" and nearest_mode == "floor":
+            iy = np.floor(np.arange(nh) * (h / nh)).astype(np.int64)
+            ix = np.floor(np.arange(nw) * (w / nw)).astype(np.int64)
+        else:   # half_pixel + round_prefer_ceil == floor((i+0.5)*in/out)
+            assert coord == "half_pixel" and \
+                nearest_mode == "round_prefer_ceil", (coord, nearest_mode)
+            iy = np.clip(np.floor((np.arange(nh) + 0.5) * (h / nh)),
+                         0, h - 1).astype(np.int64)
+            ix = np.clip(np.floor((np.arange(nw) + 0.5) * (w / nw)),
+                         0, w - 1).astype(np.int64)
         return x[:, :, iy][:, :, :, ix]
     assert mode == "linear" and coord == "half_pixel", (mode, coord)
 
@@ -150,7 +163,8 @@ def run(model: OnnxModel, feeds: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]
                       a["strides"], a["pads"], a.get("group", 1))
         elif op in ("MaxPool", "AveragePool"):
             y = _pool(i[0], op, a["kernel_shape"], a["strides"],
-                      a.get("pads", [0, 0, 0, 0]))
+                      a.get("pads", [0, 0, 0, 0]),
+                      a.get("count_include_pad", 0))
         elif op == "Resize":
             y = _resize(i[0], i[3], a["mode"],
                         a["coordinate_transformation_mode"],
@@ -195,8 +209,9 @@ def run(model: OnnxModel, feeds: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]
             y = i[0].mean(axis=tuple(a["axes"]),
                           keepdims=bool(a.get("keepdims", 1))).astype(np.float32)
         elif op == "NonMaxSuppression":
+            # spec default max_output_boxes_per_class=0 selects NOTHING
             y = _nms(i[0], i[1],
-                     int(i[2][0]) if len(i) > 2 and i[2] is not None else N_MAX,
+                     int(i[2][0]) if len(i) > 2 and i[2] is not None else 0,
                      float(i[3][0]) if len(i) > 3 and i[3] is not None else 0.0,
                      float(i[4][0]) if len(i) > 4 and i[4] is not None else None,
                      a.get("center_point_box", 0))

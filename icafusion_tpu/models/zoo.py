@@ -83,6 +83,11 @@ def _panet_head(p3: int, p4: int, p5: int, widths=(512, 256),
     ]
 
 
+def _fusion_stride(kind: str) -> int:
+    """Rows emitted per fusion site (dmaf expands to a 4-row block)."""
+    return 4 if kind == "dmaf" else 1
+
+
 def _fusion_rows(kind: str, pairs: Sequence[Tuple[int, int]],
                  dims: Sequence[int]) -> List[list]:
     rows = []
@@ -93,6 +98,17 @@ def _fusion_rows(kind: str, pairs: Sequence[Tuple[int, int]],
             rows.append([[a, b], 1, "NiNfusion", [1, 1]])
         elif kind == "add":
             rows.append([[a, b], 1, "Add", [1]])
+        elif kind == "dmaf":
+            # differential modality gating (common.py:363-383): enhance each
+            # stream with the cross-gated difference maps via Add2
+            # (yolo.py's registered DMAF/Add2 wiring, unused by any shipped
+            # reference YAML), then blend the enhanced streams for the head
+            rows += [
+                [[a, b], 1, "DMAF", [d]],
+                [[a, -1], 1, "Add2", [d, 0]],
+                [[b, -2], 1, "Add2", [d, 1]],
+                [[-2, -1], 1, "Add", [d]],
+            ]
         else:
             raise ValueError(f"unknown fusion kind {kind!r}")
     return rows
@@ -103,15 +119,18 @@ def icafusion_config(scale: str = "l", nc: int = 3, fusion: str = "tfb",
     """Two-stream CSPDarknet + fusion + PANet — the ICAFusion detector family.
 
     fusion: 'tfb' (DMFF dual cross-attention — the paper's model), 'nin'
-    (concat+1x1), or 'add' (fixed blend). Equivalent graphs to the reference's
+    (concat+1x1), 'add' (fixed blend), or 'dmaf' (differential gating).
+    Equivalent graphs to the reference's
     yolov5{scale}_{Transfusion,NiNfusion,Add}_*.yaml."""
     gd, gw = SCALES[scale]
     rows = _csp_tower(-1) + _csp_tower(-4)
     rows += _fusion_rows(fusion, pairs=[(4, 14), (6, 16), (9, 19)],
                          dims=[256, 512, 1024])
-    rows += _panet_head(p3=20, p4=21, p5=22)
+    k, base = _fusion_stride(fusion), 20
+    rows += _panet_head(p3=base + k - 1, p4=base + 2 * k - 1,
+                        p5=base + 3 * k - 1)
     d = dict(nc=nc, depth_multiple=gd, width_multiple=gw, anchors=list(anchors),
-             backbone=rows[:23], head=rows[23:],
+             backbone=rows[:base + 3 * k], head=rows[base + 3 * k:],
              name=name or f"icafusion_{fusion}_{scale}")
     return load_model_config(d, nc=nc)
 
@@ -141,10 +160,12 @@ def tiny_icafusion_config(nc: int = 3, fusion: str = "tfb") -> ModelConfig:
     else:
         rows += _fusion_rows(fusion, pairs=[(4, 13), (6, 15), (8, 17)],
                              dims=[48, 64, 96])
-    rows += _panet_head(p3=18, p4=19, p5=20, widths=(64, 48))
+    k, base = _fusion_stride(fusion), 18
+    rows += _panet_head(p3=base + k - 1, p4=base + 2 * k - 1,
+                        p5=base + 3 * k - 1, widths=(64, 48))
     d = dict(nc=nc, depth_multiple=1.0, width_multiple=1.0,
-             anchors=list(COCO_ANCHORS), backbone=rows[:21], head=rows[21:],
-             name=f"icafusion_tiny_{fusion}")
+             anchors=list(COCO_ANCHORS), backbone=rows[:base + 3 * k],
+             head=rows[base + 3 * k:], name=f"icafusion_tiny_{fusion}")
     return load_model_config(d, nc=nc)
 
 
@@ -159,9 +180,12 @@ def vgg16_icafusion_config(nc: int = 3, fusion: str = "tfb", anchors=COCO_ANCHOR
     ]
     rows = tower(-1) + tower(-4)
     rows += _fusion_rows(fusion, pairs=[(2, 7), (3, 8), (4, 9)], dims=[256, 512, 512])
-    rows += _panet_head(p3=10, p4=11, p5=12, p5_out=512)
+    k, base = _fusion_stride(fusion), 10
+    rows += _panet_head(p3=base + k - 1, p4=base + 2 * k - 1,
+                        p5=base + 3 * k - 1, p5_out=512)
     d = dict(nc=nc, depth_multiple=1.0, width_multiple=1.0, anchors=list(anchors),
-             backbone=rows[:13], head=rows[13:], name=f"icafusion_vgg16_{fusion}")
+             backbone=rows[:base + 3 * k], head=rows[base + 3 * k:],
+             name=f"icafusion_vgg16_{fusion}")
     return load_model_config(d, nc=nc)
 
 
@@ -177,7 +201,10 @@ def resnet50_icafusion_config(nc: int = 3, fusion: str = "tfb", anchors=COCO_ANC
     rows = tower(-1) + tower(-4)
     rows += _fusion_rows(fusion, pairs=[(2, 7), (3, 8), (4, 9)],
                          dims=[512, 1024, 2048])
-    rows += _panet_head(p3=10, p4=11, p5=12, widths=(1024, 512))
+    k, base = _fusion_stride(fusion), 10
+    rows += _panet_head(p3=base + k - 1, p4=base + 2 * k - 1,
+                        p5=base + 3 * k - 1, widths=(1024, 512))
     d = dict(nc=nc, depth_multiple=1.0, width_multiple=1.0, anchors=list(anchors),
-             backbone=rows[:13], head=rows[13:], name=f"icafusion_resnet50_{fusion}")
+             backbone=rows[:base + 3 * k], head=rows[base + 3 * k:],
+             name=f"icafusion_resnet50_{fusion}")
     return load_model_config(d, nc=nc)

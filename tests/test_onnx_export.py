@@ -152,6 +152,73 @@ def test_nms_baked_matches_framework_nms():
     np.testing.assert_allclose(got[:, 5], want[:, 5], rtol=2e-3, atol=2e-3)
 
 
+def test_tiny_dmaf_roundtrip():
+    """DMAF + Add2 differential-gating fusion (code-registered modules the
+    reference never uses from YAML) must lower: tuple-valued layer output,
+    Add2 indexing into it, and the tanh gate all round-trip."""
+    m = _roundtrip(zoo.tiny_icafusion_config(nc=3, fusion="dmaf"), imgsz=64)
+    assert "Tanh" in {n.op_type for n in m.nodes}
+
+
+def test_grouped_c3_roundtrip():
+    """C3 rows carrying the optional g/e YAML args (grouped bottleneck cv2,
+    non-default expansion) must reach the emitter, not be dropped."""
+    import dataclasses
+
+    cfg = zoo.tiny_icafusion_config(nc=3, fusion="add")
+    layers = list(cfg.layers)
+    for i, ld in enumerate(layers):
+        if ld.module == "C3" and ld.args == (32,):
+            layers[i] = dataclasses.replace(ld, args=(32, "True", 2, 0.25))
+    cfg = dataclasses.replace(cfg, layers=tuple(layers))
+    _roundtrip(cfg, imgsz=64)
+
+
+def test_resize_nearest_noninteger_matches_jax():
+    """Non-integer nearest upscale: the framework's Upsample falls back to
+    jax.image.resize (half-pixel centers); the emitted Resize must match it,
+    not torch's asymmetric/floor (layers.py:482-493)."""
+    from icafusion_tpu.export import onnx_proto as P
+    from icafusion_tpu.export.onnx_export import Builder
+    from icafusion_tpu.nn.layers import Upsample
+
+    b = Builder()
+    b.shape["x"] = (1, 3, 8, 8)
+    out = b.resize("x", (12, 12), "nearest")
+    blob = P.model_proto(P.graph_proto(
+        b.nodes, "t", b.inits, [P.value_info("x", P.FLOAT, (1, 3, 8, 8))],
+        [P.value_info(out, P.FLOAT, (1, 3, 12, 12))]))
+    x = np.random.default_rng(0).normal(size=(1, 3, 8, 8)).astype(np.float32)
+    (y,) = onnx_numpy.run(onnx_proto.load(blob), {"x": x}).values()
+    want = Upsample(scale_factor=1.5, mode="nearest").apply(
+        {}, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_array_equal(y, np.asarray(want).transpose(0, 3, 1, 2))
+
+
+def test_avgpool_pads_exclude_pad_cells():
+    """ONNX AveragePool default count_include_pad=0: padded cells must not
+    contribute to the divisor (torch avg_pool2d count_include_pad=False)."""
+    import torch
+    import torch.nn.functional as F
+
+    from icafusion_tpu.export.onnx_numpy import _pool
+
+    x = np.random.default_rng(1).normal(size=(2, 3, 7, 7)).astype(np.float32)
+    got = _pool(x, "AveragePool", (3, 3), (2, 2), (1, 1, 1, 1))
+    want = F.avg_pool2d(torch.from_numpy(x), 3, 2, padding=1,
+                        count_include_pad=False).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_nms_default_max_boxes_selects_nothing():
+    """Spec: max_output_boxes_per_class defaults to 0 == select no boxes."""
+    from icafusion_tpu.export.onnx_numpy import _nms
+
+    boxes = np.array([[[10, 10, 20, 20], [50, 50, 20, 20]]], np.float32)
+    scores = np.array([[[0.9, 0.8]]], np.float32)
+    assert _nms(boxes, scores, 0, 0.5, None, 1).shape == (0, 3)
+
+
 def test_unsupported_module_message():
     cfg = zoo.tiny_icafusion_config(nc=3, fusion="tfb")
     import dataclasses
