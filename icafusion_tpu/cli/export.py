@@ -179,9 +179,14 @@ def main(argv=None):
                 ref = np.asarray(ref, np.float32)
                 box = np.abs(out[..., :4] - ref[..., :4]).max()
                 score = np.abs(out[..., 4:] - ref[..., 4:]).max()
+                # The numpy evaluator is fp32; on the TPU backend the JAX
+                # forward uses bf16-precision convs, so ~1px box deltas there
+                # are device numerics, not export bugs (CPU fp32: <1e-3 px).
+                ok = box < 0.1 * S / 64 and score < 1e-2
                 print(f"  validate: max |Δbox| {box:.4f} px, "
                       f"max |Δscore| {score:.2e} vs the JAX forward "
-                      f"({'OK' if box < 0.1 * S / 64 and score < 1e-2 else 'DIVERGED'})")
+                      f"on {jax.default_backend()} "
+                      f"({'OK' if ok else 'DIVERGED'})")
 
     if "weights" in args.include:
         from flax import serialization

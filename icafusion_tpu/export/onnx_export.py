@@ -8,9 +8,12 @@ path wraps the single-input legacy Model only).
 
 Design: BN is folded into conv weights at export (the standard fuse() the
 reference applies before export — torch_utils.py:182-202); the graph is NCHW
-(ONNX convention); every module of the shipped two-stream config families has
-an emitter below (CSP / VGG16 / ResNet50 backbones x Transfusion(DMFF) /
-NiNfusion / Add fusion + PANet + Detect with decode). Opset 13, ir_version 7.
+(ONNX convention); EVERY registered assembler module has an emitter below
+(the shipped CSP / VGG16 / ResNet50 x Transfusion(DMFF) / NiNfusion / Add
+families plus the code-registered long tail: Ghost*, CrossConv, C3TR,
+MixConv2d, BottleneckCSP, DMAF+Add2, SE/CBAM gates, Contract/Expand, ...),
+except Classify, which the Detect-terminated assembler can never build.
+Opset 13, ir_version 7.
 
 Validation: tests/test_onnx_export.py parses the emitted bytes back
 (onnx_proto.load) and executes them with the numpy evaluator (onnx_numpy.py),
@@ -149,15 +152,21 @@ class Builder:
         return self.node("Softmax", [x], self.shape[x],
                          {"axis": axis % len(self.shape[x])})
 
-    def reduce_mean(self, x, axes: Sequence[int], keepdims: bool = True) -> str:
+    def _reduce(self, op: str, x, axes: Sequence[int], keepdims: bool) -> str:
         s = list(self.shape[x])
         for ax in axes:
             s[ax % len(s)] = 1
         if not keepdims:
             s = [d for i, d in enumerate(s)
                  if i not in [a % len(self.shape[x]) for a in axes]]
-        return self.node("ReduceMean", [x], tuple(s),
+        return self.node(op, [x], tuple(s),
                          {"axes": list(axes), "keepdims": int(keepdims)})
+
+    def reduce_mean(self, x, axes: Sequence[int], keepdims: bool = True) -> str:
+        return self._reduce("ReduceMean", x, axes, keepdims)
+
+    def reduce_max(self, x, axes: Sequence[int], keepdims: bool = True) -> str:
+        return self._reduce("ReduceMax", x, axes, keepdims)
 
     # --- conv / pool / resize --------------------------------------------
     def conv(self, x, w_oihw: np.ndarray, b: Optional[np.ndarray],
@@ -280,16 +289,20 @@ class Exporter:
         y1 = self.b.conv(y1, _conv_kernel(p["cv3"]), None)
         y2 = self.b.conv(x, _conv_kernel(p["cv2"]), None)
         y = self.b.concat([y1, y2], axis=1)
-        gamma = np.asarray(p["bn"]["scale"], np.float32)
-        beta = np.asarray(p["bn"]["bias"], np.float32)
-        mean = np.asarray(s["bn"]["mean"], np.float32)
-        var = np.asarray(s["bn"]["var"], np.float32)
-        scale = gamma / np.sqrt(var + BN_EPS)
-        y = self.b.add(
-            self.b.mul(y, self.b.const(scale.reshape(1, -1, 1, 1))),
-            self.b.const((beta - mean * scale).reshape(1, -1, 1, 1)))
+        y = self.bn_affine(y, p["bn"], s["bn"])
         y = self.b.leaky_relu(y, 0.1)
         return self.conv_mod(y, p["cv4"], s["cv4"], 1, 1)
+
+    def bn_affine(self, x: str, bn_p: dict, bn_s: dict) -> str:
+        """Standalone (not conv-foldable) BatchNorm as per-channel Mul+Add."""
+        gamma = np.asarray(bn_p["scale"], np.float32)
+        beta = np.asarray(bn_p["bias"], np.float32)
+        mean = np.asarray(bn_s["mean"], np.float32)
+        var = np.asarray(bn_s["var"], np.float32)
+        scale = gamma / np.sqrt(var + BN_EPS)
+        return self.b.add(
+            self.b.mul(x, self.b.const(scale.reshape(1, -1, 1, 1))),
+            self.b.const((beta - mean * scale).reshape(1, -1, 1, 1)))
 
     def sppf(self, x: str, p: dict, s: dict, k: int = 5) -> str:
         x = self.conv_mod(x, p["cv1"], s["cv1"], 1, 1)
@@ -312,6 +325,159 @@ class Exporter:
                                          [2, 3], [2, 2])
         y = self.b.concat([sl(0, 0), sl(1, 0), sl(0, 1), sl(1, 1)], axis=1)
         return self.conv_mod(y, p["conv"], s["conv"], k, stride, pad, g, act)
+
+    def ghost_conv(self, x: str, p: dict, s: dict, c2: int, k=1, stride=1,
+                   g=1, act=True) -> str:
+        """layers.GhostConv: half real features + depthwise 5x5 cheap half."""
+        y = self.conv_mod(x, p["cv1"], s["cv1"], k, stride, None, g, act)
+        c_ = c2 // 2
+        y2 = self.conv_mod(y, p["cv2"], s["cv2"], 5, 1, None, c_, act)
+        return self.b.concat([y, y2], axis=1)
+
+    def ghost_bottleneck(self, x: str, p: dict, s: dict, c1: int, c2: int,
+                         k: int = 3, stride: int = 1) -> str:
+        """layers.GhostBottleneck; the two stride-2 DWConvs are flax
+        auto-named Conv_0 (main path) / Conv_1 (shortcut)."""
+        c_ = c2 // 2
+        y = self.ghost_conv(x, p["conv0"], s["conv0"], c_, 1, 1)
+        if stride == 2:
+            y = self.conv_mod(y, p["Conv_0"], s["Conv_0"], k, stride, None,
+                              c_, False)
+        y = self.ghost_conv(y, p["conv2"], s["conv2"], c2, 1, 1, act=False)
+        if stride == 2:
+            sc = self.conv_mod(x, p["Conv_1"], s["Conv_1"], k, stride, None,
+                               c1, False)
+            sc = self.conv_mod(sc, p["sc_pw"], s["sc_pw"], 1, 1, None, 1, False)
+        else:
+            sc = x
+        return self.b.add(y, sc)
+
+    def cross_conv(self, x: str, p: dict, s: dict, c1: int, c2: int,
+                   k: int = 3, stride: int = 1, g: int = 1, e: float = 1.0,
+                   shortcut: bool = False) -> str:
+        """layers.CrossConv: (1,k) then (k,1) convs, optional residual."""
+        y = self.conv_mod(x, p["cv1"], s["cv1"], (1, k), (1, stride))
+        y = self.conv_mod(y, p["cv2"], s["cv2"], (k, 1), (stride, 1), g=g)
+        return self.b.add(x, y) if (shortcut and c1 == c2) else y
+
+    def mixconv(self, x: str, p: dict, s: dict, c1: int, c2: int,
+                ks=(1, 3), stride: int = 1) -> str:
+        """layers.MixConv2d: equal_ch kernel split, standalone BN,
+        LeakyReLU(0.1), residual."""
+        groups = len(ks)
+        ys = []
+        for g, kk in enumerate(ks):
+            ys.append(self.b.conv(x, _conv_kernel(p[f"m{g}"]), None,
+                                  (stride, stride), (kk // 2, kk // 2)))
+        y = self.b.concat(ys, axis=1)
+        y = self.bn_affine(y, p["bn"], s["bn"])
+        return self.b.add(x, self.b.leaky_relu(y, 0.1))
+
+    def contract(self, x: str, gain: int) -> str:
+        """layers.Contract: space-to-depth, channel order (s, s, C)
+        major->minor (the reference's NCHW permute(0,3,5,1,2,4))."""
+        b = self.b
+        n, c, h, w = b.shape[x]
+        g = gain
+        y = b.reshape(x, (n, c, h // g, g, w // g, g))
+        y = b.transpose(y, (0, 3, 5, 1, 2, 4))
+        return b.reshape(y, (n, g * g * c, h // g, w // g))
+
+    def expand(self, x: str, gain: int) -> str:
+        """layers.Expand: depth-to-space, inverse of contract."""
+        b = self.b
+        n, c, h, w = b.shape[x]
+        g = gain
+        y = b.reshape(x, (n, g, g, c // (g * g), h, w))
+        y = b.transpose(y, (0, 3, 4, 1, 5, 2))
+        return b.reshape(y, (n, c // (g * g), h * g, w * g))
+
+    def _dense_as_conv(self, x: str, kernel, bias=None) -> str:
+        """Apply a Dense kernel (cin, cout) as a 1x1 Conv on an NCHW map."""
+        w = np.transpose(np.asarray(kernel, np.float32))[:, :, None, None]
+        b = None if bias is None else np.asarray(bias, np.float32)
+        return self.b.conv(x, w, b)
+
+    def se_block(self, x: str, p: dict) -> str:
+        """layers.SE_Block: GAP -> fc1 -> relu -> fc2 -> sigmoid gate."""
+        y = self.b.reduce_mean(x, [2, 3], True)
+        y = self.b.relu(self._dense_as_conv(y, p["fc1"]["kernel"]))
+        y = self.b.sigmoid(self._dense_as_conv(y, p["fc2"]["kernel"]))
+        return self.b.mul(x, y)
+
+    def channel_attention(self, x: str, p: dict) -> str:
+        """layers.ChannelAttention (CBAM channel gate): shared MLP over the
+        avg- and max-pooled descriptors (flax auto-names Dense_0/Dense_1)."""
+        def mlp(t):
+            t = self.b.relu(self._dense_as_conv(t, p["Dense_0"]["kernel"]))
+            return self._dense_as_conv(t, p["Dense_1"]["kernel"])
+        avg = self.b.reduce_mean(x, [2, 3], True)
+        mx = self.b.reduce_max(x, [2, 3], True)
+        return self.b.mul(x, self.b.sigmoid(self.b.add(mlp(avg), mlp(mx))))
+
+    def spatial_attention(self, x: str, p: dict, k: int = 7) -> str:
+        """layers.SpatialAttention (CBAM spatial gate)."""
+        avg = self.b.reduce_mean(x, [1], True)
+        mx = self.b.reduce_max(x, [1], True)
+        y = self.b.concat([avg, mx], axis=1)
+        y = self.b.conv(y, _conv_kernel(p["conv"]), None, (1, 1),
+                        (k // 2, k // 2))
+        return self.b.mul(x, self.b.sigmoid(y))
+
+    def transformer_layer(self, x: str, p: dict, c: int, h: int = 4) -> str:
+        """layers.TransformerLayer: bare q/k/v denses feeding a full flax
+        MultiHeadDotProductAttention, then a 2-dense MLP, both residual."""
+        b = self.b
+        b_, n, _ = b.shape[x]
+        dk = c // h
+        q = b.matmul(x, b.const(np.asarray(p["q"]["kernel"], np.float32)))
+        k = b.matmul(x, b.const(np.asarray(p["k"]["kernel"], np.float32)))
+        v = b.matmul(x, b.const(np.asarray(p["v"]["kernel"], np.float32)))
+
+        def proj(t, name):
+            kern = np.asarray(p["ma"][name]["kernel"], np.float32)  # (c,h,dk)
+            bias = np.asarray(p["ma"][name]["bias"], np.float32)    # (h,dk)
+            y = b.add(b.matmul(t, b.const(kern.reshape(c, h * dk))),
+                      b.const(bias.reshape(h * dk)))
+            y = b.reshape(y, (b_, n, h, dk))
+            return b.transpose(y, (0, 2, 1, 3))
+
+        qh, kh, vh = proj(q, "query"), proj(k, "key"), proj(v, "value")
+        scale = b.const(np.float32(1.0 / math.sqrt(dk)))
+        logits = b.matmul(b.mul(qh, scale), b.transpose(kh, (0, 1, 3, 2)))
+        o = b.matmul(b.softmax(logits, -1), vh)
+        o = b.reshape(b.transpose(o, (0, 2, 1, 3)), (b_, n, c))
+        out_k = np.asarray(p["ma"]["out"]["kernel"], np.float32)    # (h,dk,c)
+        o = b.add(b.matmul(o, b.const(out_k.reshape(h * dk, c))),
+                  b.const(np.asarray(p["ma"]["out"]["bias"], np.float32)))
+        x = b.add(o, x)
+        y = b.matmul(x, b.const(np.asarray(p["fc1"]["kernel"], np.float32)))
+        y = b.matmul(y, b.const(np.asarray(p["fc2"]["kernel"], np.float32)))
+        return b.add(y, x)
+
+    def transformer_block(self, x: str, p: dict, s: dict, c: int,
+                          n_layers: int) -> str:
+        """layers.TransformerBlock: flatten -> learned pos-emb -> layers."""
+        b = self.b
+        if "conv" in p:
+            x = self.conv_mod(x, p["conv"], s["conv"], 1, 1)
+        b_, _, hh, ww = b.shape[x]
+        seq = b.reshape(b.transpose(x, (0, 2, 3, 1)), (b_, hh * ww, c))
+        e = self.dense(seq, p["linear"])
+        y = b.add(seq, e)
+        for i in range(n_layers):
+            y = self.transformer_layer(y, p[f"tr{i}"], c)
+        return b.transpose(b.reshape(y, (b_, hh, ww, c)), (0, 3, 1, 2))
+
+    def c3tr(self, x: str, p: dict, s: dict, c1: int, c2: int, n: int,
+             e: float = 0.5) -> str:
+        """layers.C3TR: C3 whose inner stack is a TransformerBlock."""
+        c_ = int(c2 * e)
+        y1 = self.conv_mod(x, p["cv1"], s["cv1"], 1, 1)
+        y1 = self.transformer_block(y1, p["m"], s.get("m", {}), c_, n)
+        y2 = self.conv_mod(x, p["cv2"], s["cv2"], 1, 1)
+        y = self.b.concat([y1, y2], axis=1)
+        return self.conv_mod(y, p["cv3"], s["cv3"], 1, 1)
 
     def vggblock(self, x: str, p: dict, num_convs: int) -> str:
         for i in range(num_convs):
@@ -632,6 +798,49 @@ class Exporter:
                                        _to_bool(a[3]) if len(a) > 3 else True,
                                        a[4] if len(a) > 4 else 1,
                                        a[5] if len(a) > 5 else 0.5)
+        if m == "C3TR":
+            return self.c3tr(inp, p, s, a[0], a[1], a[2],
+                             a[5] if len(a) > 5 else 0.5)
+        if m == "GhostConv":
+            return self.ghost_conv(inp, p, s, a[1], a[2] if len(a) > 2 else 1,
+                                   a[3] if len(a) > 3 else 1,
+                                   a[4] if len(a) > 4 else 1,
+                                   a[5] if len(a) > 5 else True)
+        if m == "GhostBottleneck":
+            return self.ghost_bottleneck(inp, p, s, a[0], a[1],
+                                         a[2] if len(a) > 2 else 3,
+                                         a[3] if len(a) > 3 else 1)
+        if m == "CrossConv":
+            return self.cross_conv(inp, p, s, a[0], a[1],
+                                   a[2] if len(a) > 2 else 3,
+                                   a[3] if len(a) > 3 else 1,
+                                   a[4] if len(a) > 4 else 1,
+                                   a[5] if len(a) > 5 else 1.0,
+                                   _to_bool(a[6]) if len(a) > 6 else False)
+        if m == "MixConv2d":
+            return self.mixconv(inp, p, s, a[0], a[1],
+                                tuple(a[2]) if len(a) > 2 else (1, 3),
+                                a[3] if len(a) > 3 else 1)
+        if m == "Contract":
+            return self.contract(inp, a[0])
+        if m == "Expand":
+            return self.expand(inp, a[0])
+        if m == "BatchNorm2d":
+            return self.bn_affine(inp, p["bn"], s["bn"])
+        if m == "MaxPool2d":
+            k = a[0]
+            st = a[1] if len(a) > 1 else k
+            return b.pool(inp, "MaxPool", (k, k), (st, st))
+        if m == "SE_Block":
+            return self.se_block(inp, p)
+        if m == "Channel_Attention":
+            return self.channel_attention(inp, p)
+        if m == "Spatial_Attention":
+            return self.spatial_attention(inp, p, a[0] if a else 7)
+        if m == "CBAM":
+            x = self.channel_attention(inp, p["ca"])
+            return self.spatial_attention(x, p["sa"],
+                                          a[2] if len(a) > 2 else 7)
         if m == "SPPF":
             return self.sppf(inp, p, s, a[2] if len(a) > 2 else 5)
         if m == "SPP":
@@ -678,9 +887,10 @@ class Exporter:
             nc, anchors, ch = r.args
             return self.detect(list(inp), p, nc, anchors)
         raise NotImplementedError(
-            f"ONNX export: module {m!r} (layer {r.i}) has no emitter; "
-            "supported: CSP/VGG16/ResNet50 towers, Transfusion/NiNfusion/"
-            "Add/DMAF+Add2 fusion, BottleneckCSP, PANet, Detect")
+            f"ONNX export: module {m!r} (layer {r.i}) has no emitter; every "
+            "registered assembler module exports except Classify (the "
+            "assembler only builds Detect-terminated graphs, so a Classify "
+            "layer can never appear in a buildable config)")
 
 
 def _to_bool(v):

@@ -208,6 +208,9 @@ def run(model: OnnxModel, feeds: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]
         elif op == "ReduceMean":
             y = i[0].mean(axis=tuple(a["axes"]),
                           keepdims=bool(a.get("keepdims", 1))).astype(np.float32)
+        elif op == "ReduceMax":
+            y = i[0].max(axis=tuple(a["axes"]),
+                         keepdims=bool(a.get("keepdims", 1))).astype(np.float32)
         elif op == "NonMaxSuppression":
             # spec default max_output_boxes_per_class=0 selects NOTHING
             y = _nms(i[0], i[1],

@@ -219,10 +219,59 @@ def test_nms_default_max_boxes_selects_nothing():
     assert _nms(boxes, scores, 0, 0.5, None, 1).shape == (0, 3)
 
 
+def _kitchen_sink_config(nc=2):
+    """Hand-built two-stream config exercising every code-registered module
+    that no shipped reference YAML uses: GhostConv, CrossConv, MixConv2d,
+    Contract/Expand, CBAM, Channel/Spatial_Attention, GhostBottleneck, C3TR,
+    BatchNorm2d, SE_Block, MaxPool2d."""
+    from icafusion_tpu.config import load_model_config
+    from icafusion_tpu.models.zoo import COCO_ANCHORS
+
+    tower = lambda f: [
+        [f, 1, "GhostConv", [16, 3, 2]],          # 32^2 c16
+        [-1, 1, "CrossConv", [32, 3, 2]],         # 16^2 c32
+        [-1, 1, "MixConv2d", [32, [1, 3], 1]],    # 16^2 c32 (residual)
+        [-1, 1, "Contract", [2]],                 # 8^2 c128
+        [-1, 1, "Expand", [2]],                   # 16^2 c32
+        [-1, 1, "CBAM", [32]],                    # 16^2 c32
+        [-1, 1, "Channel_Attention", [32, 8]],    # 16^2 c32
+        [-1, 1, "Spatial_Attention", [7]],        # 16^2 c32
+        [-1, 1, "GhostBottleneck", [48, 3, 2]],   # 8^2 c48
+        [-1, 1, "C3TR", [48]],                    # 8^2 c48
+        [-1, 1, "BatchNorm2d", [48]],             # 8^2 c48   P3/8
+        [-1, 1, "Conv", [64, 3, 2]],              # 4^2 c64
+        [-1, 1, "SE_Block", [64]],                # 4^2 c64   P4/16
+        [-1, 1, "MaxPool2d", [2, 2]],             # 2^2 c64   P5/32
+    ]
+    rows = tower(-1) + tower(-4)
+    rows += [
+        [[10, 24], 1, "Add", [1]],                # 28
+        [[12, 26], 1, "Add", [1]],                # 29
+        [[13, 27], 1, "Add", [1]],                # 30
+        [[28, 29, 30], 1, "Detect", ["nc", "anchors"]],
+    ]
+    d = dict(nc=nc, depth_multiple=1.0, width_multiple=1.0,
+             anchors=list(COCO_ANCHORS), backbone=rows[:28], head=rows[28:],
+             name="kitchen_sink")
+    return load_model_config(d, nc=nc)
+
+
+def test_kitchen_sink_roundtrip():
+    """Every registered assembler module (except Classify) must export and
+    round-trip numerically — shipped families are covered by the zoo tests;
+    this covers the code-registered long tail in one graph."""
+    m = _roundtrip(_kitchen_sink_config(), imgsz=64)
+    ops = {n.op_type for n in m.nodes}
+    assert "ReduceMax" in ops          # CBAM / Spatial_Attention gates
+    assert "LeakyRelu" in ops          # MixConv2d mix path
+
+
 def test_unsupported_module_message():
+    """Classify is the single registered module without an emitter (the
+    assembler only builds Detect-terminated graphs, so it is unreachable)."""
     cfg = zoo.tiny_icafusion_config(nc=3, fusion="tfb")
     import dataclasses
-    bad = dataclasses.replace(cfg.layers[0], module="GhostConv")
+    bad = dataclasses.replace(cfg.layers[0], module="Classify")
     cfg2 = dataclasses.replace(cfg, layers=(bad,) + cfg.layers[1:])
     with pytest.raises(NotImplementedError, match="no emitter"):
         export_onnx(cfg2, {"params": {}}, batch=1, imgsz=64)
