@@ -16,22 +16,16 @@ import numpy as np
 
 from icafusion_tpu.cli._common import load_model_for_inference, setup_jax
 
-COLORS = [(255, 56, 56), (50, 205, 50), (65, 105, 225), (255, 157, 151),
-          (255, 112, 31), (147, 69, 52), (72, 249, 10), (26, 147, 52)]
+from icafusion_tpu.utils.plots import COLORS, plot_one_box, save_one_box
 
 
-def plot_one_box(img, xyxy, label, color):
-    """Draw one box + caption (reference utils/plots.py:67-87)."""
-    import cv2
-    x1, y1, x2, y2 = (int(v) for v in xyxy)
-    tl = max(round(0.002 * (img.shape[0] + img.shape[1]) / 2), 1)
-    cv2.rectangle(img, (x1, y1), (x2, y2), color, tl, cv2.LINE_AA)
-    tf = max(tl - 1, 1)
-    t_size = cv2.getTextSize(label, 0, fontScale=tl / 3, thickness=tf)[0]
-    c2 = x1 + t_size[0], y1 - t_size[1] - 3
-    cv2.rectangle(img, (x1, y1), c2, color, -1, cv2.LINE_AA)
-    cv2.putText(img, label, (x1, y1 - 2), 0, tl / 3, (225, 255, 255), tf,
-                cv2.LINE_AA)
+def _label(names, cls, conf, args) -> str:
+    """Caption per the reference's hide-labels/hide-conf flags
+    (detect_twostream.py:151-153)."""
+    if args.hide_labels:
+        return ""
+    s = names[int(cls)]
+    return s if args.hide_conf else f"{s} {conf:.2f}"
 
 
 def parse_args(argv=None):
@@ -45,7 +39,20 @@ def parse_args(argv=None):
     ap.add_argument("--iou-thres", type=float, default=0.45)
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--save-dir", default="runs/detect/exp")
-    ap.add_argument("--save-txt", action="store_true")
+    ap.add_argument("--save-txt", action="store_true",
+                    help="save per-image labels (normalized cls xc yc w h)")
+    ap.add_argument("--save-conf", action="store_true",
+                    help="append confidence to --save-txt lines")
+    ap.add_argument("--save-crop", action="store_true",
+                    help="save detection crops under save-dir/crops/<class>/")
+    ap.add_argument("--classes", nargs="+", type=int, default=None,
+                    help="keep only these class ids in NMS")
+    ap.add_argument("--agnostic-nms", action="store_true",
+                    help="class-agnostic NMS")
+    ap.add_argument("--line-thickness", type=int, default=None,
+                    help="box line thickness px (default: auto from size)")
+    ap.add_argument("--hide-labels", action="store_true")
+    ap.add_argument("--hide-conf", action="store_true")
     ap.add_argument("--names", nargs="*", default=None)
     ap.add_argument("--nosave", action="store_true")
     ap.add_argument("--augment", action="store_true",
@@ -78,18 +85,22 @@ def _make_infer(model, args):
             pred = tta_inference(model, v, rgb, ir)
         else:
             pred, _, _ = model.apply(v, rgb, ir, train=False, decode=True)
-        return non_max_suppression(pred, conf_thres=args.conf_thres,
-                                   iou_thres=args.iou_thres, top_k=1024)
+        return non_max_suppression(
+            pred, conf_thres=args.conf_thres, iou_thres=args.iou_thres,
+            top_k=1024, agnostic=getattr(args, "agnostic_nms", False),
+            classes=(tuple(args.classes)
+                     if getattr(args, "classes", None) else None))
 
     return infer
 
 
-def _annotate_bgr(im0_rgb, pred, names):
+def _annotate_bgr(im0_rgb, pred, names, args):
     """RGB frame + detections -> BGR frame with drawn boxes (for cv2 IO)."""
     frame = im0_rgb[:, :, ::-1].copy()
     for x1, y1, x2, y2, conf, cls in pred:
-        plot_one_box(frame, (x1, y1, x2, y2), f"{names[int(cls)]} {conf:.2f}",
-                     COLORS[int(cls) % len(COLORS)])
+        plot_one_box(frame, (x1, y1, x2, y2), _label(names, cls, conf, args),
+                     COLORS[int(cls) % len(COLORS)],
+                     line_thickness=args.line_thickness)
     return frame
 
 
@@ -123,7 +134,7 @@ def detect_videos(args, model, variables, names):
         h0, w0 = im0.shape[:2]
         if len(pred):
             pred[:, :4] = scale_coords_np((S, S), pred[:, :4], (h0, w0))
-        frame = _annotate_bgr(im0, pred, names)
+        frame = _annotate_bgr(im0, pred, names, args)
         if writer is None and not args.nosave:
             out_path = str(save_dir / (Path(args.source1).stem + "_det.mp4"))
             writer = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"),
@@ -199,7 +210,7 @@ def detect_streams(args, model, variables, names, stale_timeout: float = 30.0):
                 pred[:, :4] = scale_coords_np((S, S), pred[:, :4], (h0, w0))
             if not args.nosave:
                 cv2.imwrite(str(save_dir / "stream0_last.jpg"),
-                            _annotate_bgr(im0, pred, names))
+                            _annotate_bgr(im0, pred, names, args))
             n += 1
     finally:
         src.close()
@@ -276,15 +287,28 @@ def main(argv=None):
                                               ratio_pad=ratio_pad)
             stem = Path(files1[i]).stem
             if args.save_txt and len(pred):
-                lines = [f"{int(c)} {x1:g} {y1:g} {x2:g} {y2:g} {s:g}"
-                         for x1, y1, x2, y2, s, c in pred]
+                # reference label format (detect_twostream.py:145-148):
+                # normalized "cls xc yc w h" (+ conf with --save-conf)
+                lines = []
+                for x1, y1, x2, y2, s, c in pred:
+                    xc, yc = (x1 + x2) / 2 / w0, (y1 + y2) / 2 / h0
+                    bw, bh = (x2 - x1) / w0, (y2 - y1) / h0
+                    row = f"{int(c)} {xc:g} {yc:g} {bw:g} {bh:g}"
+                    lines.append(row + (f" {s:g}" if args.save_conf else ""))
                 (save_dir / f"{stem}.txt").write_text("\n".join(lines) + "\n")
+            if args.save_crop:
+                for x1, y1, x2, y2, conf, cls in pred:
+                    save_one_box((x1, y1, x2, y2), im0,
+                                 save_dir / "crops" / names[int(cls)]
+                                 / f"{stem}.jpg")
             if not args.nosave:
                 for x1, y1, x2, y2, conf, cls in pred:
-                    label = f"{names[int(cls)]} {conf:.2f}"
+                    label = _label(names, cls, conf, args)
                     color = COLORS[int(cls) % len(COLORS)]
-                    plot_one_box(im0, (x1, y1, x2, y2), label, color)
-                    plot_one_box(im1, (x1, y1, x2, y2), label, color)
+                    plot_one_box(im0, (x1, y1, x2, y2), label, color,
+                                 line_thickness=args.line_thickness)
+                    plot_one_box(im1, (x1, y1, x2, y2), label, color,
+                                 line_thickness=args.line_thickness)
                 cv2.imwrite(str(save_dir / f"{stem}_rgb.jpg"), im0)
                 cv2.imwrite(str(save_dir / f"{stem}_ir.jpg"), im1)
             print(f"{stem}: {len(pred)} detections")

@@ -76,16 +76,22 @@ def _greedy_nms(boxes_off, scores, iou_thres: float, max_det: int):
 
 @functools.partial(jax.jit, static_argnames=("conf_thres", "iou_thres", "multi_label",
                                              "agnostic", "max_det", "top_k",
-                                             "use_pallas", "merge"))
+                                             "use_pallas", "merge", "classes"))
 def non_max_suppression(prediction, conf_thres: float = 0.25, iou_thres: float = 0.45,
                         multi_label: bool = False, agnostic: bool = False,
                         max_det: int = 300, top_k: int = 4096,
-                        use_pallas: bool = None, merge: bool = False) -> Detections:
+                        use_pallas: bool = None, merge: bool = False,
+                        classes: tuple = None) -> Detections:
     """Batched NMS over decoded predictions (B, N, 5+nc) in xywh+obj+cls layout.
 
     Equivalent to reference general.py:518-607 with fixed shapes. ``top_k`` bounds the
     candidate pool entering suppression (reference max_nms=30000; candidates beyond
     the top 4k by confidence cannot alter the top-300 kept set in practice).
+
+    ``classes`` (a static tuple of class ids) keeps only those classes
+    (general.py:574-576). In best-class mode the filter applies AFTER argmax —
+    a detection whose best class is excluded is dropped, not reassigned to its
+    best allowed class, exactly the reference's row filter.
 
     ``merge=True`` is the reference's merge-NMS (general.py:594-600): each kept
     box becomes the conf-weighted mean of ALL candidate boxes overlapping it at
@@ -99,6 +105,11 @@ def non_max_suppression(prediction, conf_thres: float = 0.25, iou_thres: float =
     multi_label = multi_label and nc > 1
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
+    allowed = None
+    if classes is not None:
+        mask = np.zeros((nc,), bool)
+        mask[list(classes)] = True
+        allowed = jnp.asarray(mask)
 
     def candidates(x):
         obj = x[:, 4]
@@ -110,6 +121,8 @@ def non_max_suppression(prediction, conf_thres: float = 0.25, iou_thres: float =
         if multi_label:
             # dense (N, nc) expansion (general.py:566-568)
             scores_all = jnp.where((conf > conf_thres) & gate[:, None], conf, 0.0)
+            if allowed is not None:
+                scores_all = jnp.where(allowed[None, :], scores_all, 0.0)
             flat = scores_all.reshape(-1)
             k = min(top_k, flat.shape[0])
             s, fi = jax.lax.top_k(flat, k)
@@ -119,6 +132,9 @@ def non_max_suppression(prediction, conf_thres: float = 0.25, iou_thres: float =
             best = jnp.max(conf, axis=1)
             ci_all = jnp.argmax(conf, axis=1).astype(jnp.float32)
             scores_all = jnp.where((best > conf_thres) & gate, best, 0.0)
+            if allowed is not None:
+                scores_all = jnp.where(allowed[ci_all.astype(jnp.int32)],
+                                       scores_all, 0.0)
             k = min(top_k, n)
             s, bi = jax.lax.top_k(scores_all, k)
             ci = ci_all[bi]

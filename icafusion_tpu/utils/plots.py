@@ -28,11 +28,13 @@ def color(i: int):
     return COLORS[int(i) % len(COLORS)]
 
 
-def plot_one_box(img, xyxy, label: str = "", col=(255, 56, 56)):
+def plot_one_box(img, xyxy, label: str = "", col=(255, 56, 56),
+                 line_thickness: int = None):
     """Draw one labelled box in place (plots.py:67-87)."""
     import cv2
     x1, y1, x2, y2 = (int(v) for v in xyxy)
-    tl = max(round(0.002 * (img.shape[0] + img.shape[1]) / 2), 1)
+    tl = line_thickness or max(
+        round(0.002 * (img.shape[0] + img.shape[1]) / 2), 1)
     cv2.rectangle(img, (x1, y1), (x2, y2), col, tl, cv2.LINE_AA)
     if label:
         tf = max(tl - 1, 1)
@@ -41,6 +43,33 @@ def plot_one_box(img, xyxy, label: str = "", col=(255, 56, 56)):
                       cv2.LINE_AA)
         cv2.putText(img, label, (x1, y1 - 2), 0, tl / 3, (225, 255, 255), tf,
                     cv2.LINE_AA)
+
+
+def save_one_box(xyxy, im_bgr, file, gain: float = 1.02, pad: int = 10,
+                 square: bool = False):
+    """Save a gain-scaled, pad-grown crop of ``im_bgr`` (BGR uint8) to
+    ``file`` as jpg (general.py:692-702). Returns the written Path."""
+    import cv2
+    from pathlib import Path
+    x1, y1, x2, y2 = (float(v) for v in xyxy)
+    cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
+    w, h = x2 - x1, y2 - y1
+    if square:
+        w = h = max(w, h)
+    w, h = w * gain + 2 * pad, h * gain + 2 * pad
+    H, W = im_bgr.shape[:2]
+    xa = int(np.clip(cx - w / 2, 0, W - 1))
+    xb = int(np.clip(cx + w / 2, 0, W))
+    ya = int(np.clip(cy - h / 2, 0, H - 1))
+    yb = int(np.clip(cy + h / 2, 0, H))
+    file = Path(file).with_suffix(".jpg")
+    file.parent.mkdir(parents=True, exist_ok=True)
+    base, n = file, 2
+    while file.exists():  # increment like reference general.py:705-713
+        file = base.with_name(f"{base.stem}_{n}.jpg")
+        n += 1
+    cv2.imwrite(str(file), im_bgr[ya:yb, xa:xb])
+    return file
 
 
 def plot_images(images, targets, masks=None, path=None, names=None,

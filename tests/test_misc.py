@@ -167,3 +167,56 @@ def test_detect_streams_live_loop(tmp_path):
                        stale_timeout=8.0)
     assert 1 <= n <= 3
     assert (tmp_path / "out" / "stream0_last.jpg").exists()
+
+
+def test_detect_folder_cli_flags(tmp_path):
+    """Folder-branch detect CLI with the reference's output flags
+    (detect_twostream.py:203-224): --save-txt format is normalized
+    'cls xc yc w h' (+conf with --save-conf), --save-crop writes
+    crops/<class>/<stem>.jpg, --classes filters NMS output."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from icafusion_tpu.cli.detect import main
+    from icafusion_tpu.models import build_model
+    from icafusion_tpu.models.zoo import tiny_icafusion_config
+
+    vis, ir = tmp_path / "vis", tmp_path / "ir"
+    vis.mkdir(), ir.mkdir()
+    rng = np.random.default_rng(0)
+    for stem in ("a", "b"):
+        cv2.imwrite(str(vis / f"{stem}.jpg"),
+                    rng.integers(0, 255, (96, 128, 3), np.uint8))
+        cv2.imwrite(str(ir / f"{stem}.jpg"),
+                    rng.integers(0, 255, (96, 128, 3), np.uint8))
+
+    mc = tiny_icafusion_config(nc=3)
+    model = build_model(mc, dtype=jnp.float32)
+    variables = jax.jit(model.init, static_argnames=("train", "decode"))(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)),
+        train=False, decode=False)
+    ckpt = tmp_path / "w.ckpt"
+    ckpt.write_bytes(serialization.msgpack_serialize({
+        "params": jax.device_get(variables["params"]),
+        "batch_stats": jax.device_get(variables.get("batch_stats", {})),
+        "meta": {"epoch": 0, "best_fitness": 0.0}}))
+
+    out = tmp_path / "out"
+    main(["--weights", str(ckpt), "--cfg", "zoo:tiny",
+          "--source1", str(vis), "--source2", str(ir),
+          "--img-size", "64", "--batch-size", "2", "--conf-thres", "0.001",
+          "--save-dir", str(out), "--save-txt", "--save-conf",
+          "--save-crop", "--classes", "0", "1", "--hide-conf"])
+
+    txts = sorted(out.glob("*.txt"))
+    assert txts, "random-weight detections at conf 0.001 must produce labels"
+    vals = np.array([l.split() for l in txts[0].read_text().split("\n") if l],
+                    np.float32)
+    assert vals.shape[1] == 6                     # cls xc yc w h conf
+    assert set(vals[:, 0].astype(int)) <= {0, 1}  # --classes filter
+    assert (vals[:, 1:5] >= -1e-6).all() and (vals[:, 1:5] <= 1 + 1e-6).all()
+    assert list(out.glob("crops/*/*.jpg")), "--save-crop output missing"
+    assert (out / "a_rgb.jpg").exists() and (out / "a_ir.jpg").exists()

@@ -179,3 +179,24 @@ def test_nms_class_separation():
     dets_a = non_max_suppression(jnp.asarray(pred), conf_thres=0.25, iou_thres=0.45,
                                  agnostic=True)
     assert int(np.asarray(dets_a.valid).sum()) == 1
+
+
+@pytest.mark.parametrize("multi_label", [False, True])
+def test_nms_classes_filter(multi_label):
+    """classes= keeps only the listed ids (general.py:574-576). In best-class
+    mode an excluded-best row is DROPPED, not reassigned to its best allowed
+    class — verified against the oracle run on class-filtered rows."""
+    rng = np.random.default_rng(3)
+    pred = random_preds(rng, 2, 600, 4)
+    keep_cls = (1, 3)
+    ours = non_max_suppression(jnp.asarray(pred), conf_thres=0.25,
+                               iou_thres=0.45, multi_label=multi_label,
+                               top_k=4096, classes=keep_cls)
+    # oracle: replicate the reference row filter, then the plain pipeline
+    ref_list = np_reference_nms_pipeline(pred, 0.25, 0.45, multi_label)
+    for o, r in zip(detections_to_numpy(ours), ref_list):
+        r = r[np.isin(r[:, 5].astype(int), keep_cls)]
+        assert set(np.unique(o[:, 5].astype(int))) <= set(keep_cls)
+        assert o.shape[0] == r.shape[0]
+        np.testing.assert_allclose(o[:, 4], r[:, 4], rtol=1e-5)
+        np.testing.assert_array_equal(o[:, 5].astype(int), r[:, 5].astype(int))
