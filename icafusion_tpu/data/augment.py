@@ -198,6 +198,26 @@ def mosaic_pair(load_fn, index, all_indices, img_size: int,
     return img4_rgb, img4_ir, targets
 
 
+def shift_augment(img, rng: np.random.Generator, max_shift: int = 10,
+                  fill: int = 114):
+    """IR-misalignment simulation (datasets.py:1061-1078, shipped disabled at
+    :1020): translate the image by a random 0..max_shift px offset in a random
+    diagonal direction, exposing gray fill at the vacated edges. Labels stay
+    on the RGB side so only the IR stream is shifted. img: HWC u8.
+
+    The reference picks among 4 diagonal directions but its left-down branch
+    duplicates right-up; here the signed (dx, dy) pair covers all four
+    quadrants directly."""
+    dx = int(rng.integers(0, max_shift + 1)) * (1 if rng.random() < 0.5 else -1)
+    dy = int(rng.integers(0, max_shift + 1)) * (1 if rng.random() < 0.5 else -1)
+    h, w = img.shape[:2]
+    out = np.full_like(img, fill)
+    sy, sx = slice(max(dy, 0), h + min(dy, 0)), slice(max(dx, 0), w + min(dx, 0))
+    ty, tx = slice(max(-dy, 0), h + min(-dy, 0)), slice(max(-dx, 0), w + min(-dx, 0))
+    out[ty, tx] = img[sy, sx]
+    return out
+
+
 def hist_equalize(img, clahe: bool = True):
     """Histogram-equalize the luma channel (datasets.py:1143-1151). img: HWC RGB u8."""
     yuv = cv2.cvtColor(img, cv2.COLOR_RGB2YUV)

@@ -75,6 +75,29 @@ def qfocal_bce_with_logits(logits, targets, gamma: float,
     return loss * alpha_factor * modulating
 
 
+def bce_blur_with_logits(logits, targets, alpha: float = 0.05,
+                         pos_weight: float = 1.0):
+    """BCEBlurWithLogitsLoss (reference loss.py:20-34) — dormant alternative
+    that down-weights likely missing-label cases: elements where the model is
+    confident-positive but the target is 0 (dx = p - t near 1) get their loss
+    scaled by 1 - exp((dx-1)/(alpha+1e-4))."""
+    loss = bce_with_logits(logits, targets, pos_weight)
+    dx = jax.nn.sigmoid(logits) - targets
+    return loss * (1.0 - jnp.exp((dx - 1.0) / (alpha + 1e-4)))
+
+
+def vf_bce_with_logits(logits, targets, gamma: float = 2.0,
+                       alpha: float = 0.25, pos_weight: float = 1.0):
+    """Varifocal loss (reference loss.py:94-117) — dormant alternative:
+    positives (t > 0) keep weight t (IoU-aware quality), negatives get the
+    focal weight alpha*|p - t|^gamma."""
+    loss = bce_with_logits(logits, targets, pos_weight)
+    pred_prob = jax.nn.sigmoid(logits)
+    pos = (targets > 0.0).astype(logits.dtype)
+    w = targets * pos + alpha * jnp.abs(pred_prob - targets) ** gamma * (1 - pos)
+    return loss * w
+
+
 @dataclasses.dataclass
 class YoloLoss:
     """Callable loss. anchors: (nl, na, 2) in *grid units* (pixel/stride —

@@ -185,3 +185,56 @@ def test_loss_is_differentiable():
         g = np.asarray(gp)
         assert np.isfinite(g).all()
         assert np.abs(g).sum() > 0
+
+
+def test_loss_variant_torch_parity():
+    """bce_blur / vf loss variants match the reference's torch formulations
+    (loss.py:20-34 BCEBlurWithLogitsLoss, :94-117 VFLoss) elementwise."""
+    import torch
+
+    from icafusion_tpu.train.loss import bce_blur_with_logits, vf_bce_with_logits
+
+    rng = np.random.default_rng(0)
+    logits = rng.normal(0, 2, (64, 5)).astype(np.float32)
+    # targets mix hard 0/1 with soft IoU-quality values (VFL's positive case)
+    targets = np.where(rng.random((64, 5)) < 0.5, 0.0,
+                       rng.uniform(0.2, 1.0, (64, 5))).astype(np.float32)
+    tl, tt = torch.tensor(logits), torch.tensor(targets)
+    base = torch.nn.functional.binary_cross_entropy_with_logits(
+        tl, tt, reduction="none")
+
+    dx = torch.sigmoid(tl) - tt
+    want_blur = base * (1 - torch.exp((dx - 1) / (0.05 + 1e-4)))
+    got_blur = np.asarray(bce_blur_with_logits(jnp.asarray(logits),
+                                               jnp.asarray(targets)))
+    np.testing.assert_allclose(got_blur, want_blur.numpy(), rtol=1e-5, atol=1e-6)
+
+    p = torch.sigmoid(tl)
+    w = tt * (tt > 0).float() + 0.25 * (p - tt).abs() ** 2.0 * (tt <= 0).float()
+    got_vf = np.asarray(vf_bce_with_logits(jnp.asarray(logits),
+                                           jnp.asarray(targets)))
+    np.testing.assert_allclose(got_vf, (base * w).numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_shift_augment():
+    """shift_augment translates content and fills vacated edges with gray
+    (datasets.py:1061-1078); shift magnitude bounded by max_shift."""
+    from icafusion_tpu.data.augment import shift_augment
+
+    img = np.arange(32 * 32 * 3, dtype=np.uint8).reshape(32, 32, 3)
+    out = shift_augment(img, np.random.default_rng(1), max_shift=5)
+    assert out.shape == img.shape and out.dtype == img.dtype
+    # the interior must be a pure translate of the source: some offset
+    # |dx|,|dy| <= 5 reproduces the original exactly outside the fill band
+    found = False
+    for dy in range(-5, 6):
+        for dx in range(-5, 6):
+            ty = slice(max(-dy, 0), 32 + min(-dy, 0))
+            tx = slice(max(-dx, 0), 32 + min(-dx, 0))
+            sy = slice(max(dy, 0), 32 + min(dy, 0))
+            sx = slice(max(dx, 0), 32 + min(dx, 0))
+            if np.array_equal(out[ty, tx], img[sy, sx]) and (dx or dy):
+                found = True
+    fixed = shift_augment(img, np.random.default_rng(2), max_shift=0)
+    assert found or np.array_equal(out, img)
+    assert np.array_equal(fixed, img)  # zero shift is identity
