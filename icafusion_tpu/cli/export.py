@@ -37,6 +37,15 @@ def parse_args(argv=None):
                     help="bake NMS into the exported program")
     ap.add_argument("--conf-thres", type=float, default=0.25)
     ap.add_argument("--iou-thres", type=float, default=0.45)
+    ap.add_argument("--int8", action="store_true",
+                    help="ALSO emit <out>.int8.onnx in standard W8A8 QDQ form "
+                         "(per-tensor activation scales, per-out-channel int8 "
+                         "weights quantized after BN folding) — the deployable "
+                         "rendering of the TPU int8 serving path")
+    ap.add_argument("--calib-source1", default=None,
+                    help="RGB folder for int8 calibration batches")
+    ap.add_argument("--calib-source2", default=None,
+                    help="IR folder for int8 calibration batches")
     ap.add_argument("--validate", action="store_true",
                     help="after ONNX export, execute the emitted graph with the "
                          "bundled numpy evaluator on a random input and report "
@@ -187,6 +196,60 @@ def main(argv=None):
                       f"max |Δscore| {score:.2e} vs the JAX forward "
                       f"on {jax.default_backend()} "
                       f"({'OK' if ok else 'DIVERGED'})")
+
+        if args.int8:
+            from icafusion_tpu.utils.quantize import (calibrate,
+                                                      quantize_variables)
+            if args.calib_source1 and args.calib_source2:
+                import cv2
+
+                from icafusion_tpu.data.augment import letterbox
+                from icafusion_tpu.data.datasets import discover_images
+                f1 = discover_images(args.calib_source1)[:2 * B]
+                f2 = discover_images(args.calib_source2)[:2 * B]
+                batches = []
+                for start in range(0, len(f1) - B + 1, B):
+                    rb = np.stack([letterbox(cv2.cvtColor(
+                        cv2.imread(f), cv2.COLOR_BGR2RGB), S)[0]
+                        for f in f1[start:start + B]])
+                    ib = np.stack([letterbox(cv2.cvtColor(
+                        cv2.imread(f), cv2.COLOR_BGR2RGB), S)[0]
+                        for f in f2[start:start + B]])
+                    batches.append((jnp.asarray(rb, jnp.float32) / 255.0,
+                                    jnp.asarray(ib, jnp.float32) / 255.0))
+                print(f"int8: calibrated on {len(batches)} real batches")
+            else:
+                rng = np.random.default_rng(0)
+                batches = [(jnp.asarray(rng.uniform(0, 1, (B, S, S, 3)),
+                                        jnp.float32),
+                            jnp.asarray(rng.uniform(0, 1, (B, S, S, 3)),
+                                        jnp.float32)) for _ in range(2)]
+                print("int8: WARNING — no --calib-source1/2 given; activation "
+                      "scales calibrated on RANDOM inputs (structure-valid "
+                      "artifact; recalibrate on real pairs for deployment)")
+            qvars = quantize_variables(dict(variables),
+                                       calibrate(model, variables, batches))
+            blob8 = export_onnx(mc, jax.tree.map(np.asarray, qvars),
+                                batch=B, imgsz=S, nms=nms_opts)
+            o8 = Path(str(stem) + ".int8.onnx")
+            o8.write_bytes(blob8)
+            print(f"ONNX int8 QDQ (W8A8, per-out-channel weights): {o8} "
+                  f"({o8.stat().st_size / 1e6:.1f} MB)")
+            if args.validate and not args.nms:
+                from icafusion_tpu.export import onnx_numpy, onnx_proto
+                rng = np.random.default_rng(0)
+                rgb = rng.uniform(0, 1, (B, S, S, 3)).astype(np.float32)
+                ir = rng.uniform(0, 1, (B, S, S, 3)).astype(np.float32)
+                feeds = {"rgb": rgb.transpose(0, 3, 1, 2),
+                         "ir": ir.transpose(0, 3, 1, 2)}
+                (fp,) = onnx_numpy.run(onnx_proto.load(blob), feeds).values()
+                (q8,) = onnx_numpy.run(onnx_proto.load(blob8), feeds).values()
+                box = np.abs(q8[..., :4] - fp[..., :4]).max()
+                score = np.abs(q8[..., 4:] - fp[..., 4:]).max()
+                print(f"  int8 validate: quantization deltas vs fp32 ONNX — "
+                      f"max |Δbox| {box:.2f} px, max |Δscore| {score:.4f} "
+                      f"(expected small but nonzero; accuracy cost measured "
+                      f"on-chip in BENCH.md)")
 
     if "weights" in args.include:
         from flax import serialization

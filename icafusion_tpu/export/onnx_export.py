@@ -168,16 +168,41 @@ class Builder:
     def reduce_max(self, x, axes: Sequence[int], keepdims: bool = True) -> str:
         return self._reduce("ReduceMax", x, axes, keepdims)
 
+    # --- quantization (QDQ form, opset 13) --------------------------------
+    def qdq(self, x, scale, axis: Optional[int] = None) -> str:
+        """Fake-quantize a tensor: QuantizeLinear -> DequantizeLinear with a
+        symmetric int8 zero-point. scale: scalar (per-tensor) or 1-D array
+        with ``axis`` (per-axis, standard for weights on axis 0)."""
+        s_arr = np.asarray(scale, np.float32)
+        s = self.init("scale", s_arr)
+        zp = self.init("zp", np.zeros(s_arr.shape, np.int8))
+        attrs = {} if axis is None else {"axis": int(axis)}
+        x8 = self.node("QuantizeLinear", [x, s, zp], self.shape[x], attrs)
+        return self.node("DequantizeLinear", [x8, s, zp], self.shape[x], attrs)
+
+    def dequant_weight(self, w8: np.ndarray, s_w: np.ndarray) -> str:
+        """int8 OIHW weight initializer + per-out-channel DequantizeLinear."""
+        w = self.init("w8", w8.astype(np.int8))
+        s = self.init("s_w", np.asarray(s_w, np.float32))
+        zp = self.init("zp", np.zeros(s_w.shape, np.int8))
+        return self.node("DequantizeLinear", [w, s, zp], w8.shape, {"axis": 0})
+
     # --- conv / pool / resize --------------------------------------------
-    def conv(self, x, w_oihw: np.ndarray, b: Optional[np.ndarray],
+    def conv(self, x, w_oihw, b: Optional[np.ndarray],
              stride=(1, 1), pads=(0, 0), group: int = 1) -> str:
-        """Conv, NCHW. pads (py, px) applied symmetrically."""
-        wn = self.init("w", w_oihw.astype(np.float32))
+        """Conv, NCHW. pads (py, px) applied symmetrically. ``w_oihw`` is
+        either an ndarray (becomes an initializer) or the name of an
+        already-emitted weight tensor (the QDQ path's DequantizeLinear)."""
+        if isinstance(w_oihw, str):
+            wn, wshape = w_oihw, self.shape[w_oihw]
+        else:
+            wn = self.init("w", w_oihw.astype(np.float32))
+            wshape = w_oihw.shape
         ins = [x, wn]
         if b is not None:
             ins.append(self.init("b", b.astype(np.float32)))
         n, _, h, wd = self.shape[x]
-        co, _, kh, kw = w_oihw.shape
+        co, _, kh, kw = wshape
         oh = (h + 2 * pads[0] - kh) // stride[0] + 1
         ow = (wd + 2 * pads[1] - kw) // stride[1] + 1
         return self.node("Conv", ins, (n, co, oh, ow), {
@@ -240,25 +265,71 @@ def _conv_kernel(p: dict) -> np.ndarray:
     return np.transpose(np.asarray(p["kernel"], np.float32), (3, 2, 0, 1))
 
 
+def _plain(d):
+    """Recursively convert Mapping trees (e.g. FrozenDict) to plain dicts."""
+    try:
+        items = d.items()
+    except AttributeError:
+        return d
+    return {k: _plain(v) for k, v in items}
+
+
 class Exporter:
     """Walks the resolved layer list and emits ONNX nodes per module."""
 
     def __init__(self, cfg, variables: dict,
                  nms: Optional[Tuple[float, float, int]] = None):
         self.cfg = cfg
-        self.params = variables["params"]
-        self.stats = variables.get("batch_stats", {})
+        # plain nested dicts: identity-stable subtrees (FrozenDict re-wraps on
+        # every __getitem__, which would break the id-keyed quant map below)
+        self.params = _plain(variables["params"])
+        self.stats = _plain(variables.get("batch_stats", {}))
         self.nms = nms                    # (conf_thres, iou_thres, max_det)
         self.b = Builder()
+        # int8 QDQ: the 'quant' collection (utils/quantize.py) mirrors the
+        # params tree; map each quantized Conv's params subtree BY IDENTITY so
+        # conv_mod finds its calibration without threading a third tree
+        # through every emitter call site.
+        self._qmap: Dict[int, dict] = {}
+        if "quant" in variables:
+            self._walk_quant(self.params, _plain(variables["quant"]))
+
+    def _walk_quant(self, p_node, q_node):
+        if not isinstance(q_node, dict):
+            return
+        if "w8" in q_node:
+            self._qmap[id(p_node)] = q_node
+        for k, v in q_node.items():
+            if k not in ("w8", "s_w", "s_in") and isinstance(p_node, dict) \
+                    and k in p_node:
+                self._walk_quant(p_node[k], v)
 
     # -- primitive emitters -------------------------------------------------
     def conv_mod(self, x: str, p: dict, s: dict, k=1, stride=1, pad=None,
                  g=1, act=True) -> str:
-        """layers.Conv: conv(bias=False)+BN+SiLU (BN folded)."""
+        """layers.Conv: conv(bias=False)+BN+SiLU (BN folded).
+
+        With a 'quant' collection present this Conv is emitted in standard
+        W8A8 QDQ form (the deployable rendering of the TPU int8 serving path,
+        utils/quantize.py): per-tensor activation Quantize/DequantizeLinear
+        (scale = max of the calibrated per-input-channel scales — ONNX
+        runtimes fuse per-tensor-activation QDQ into QLinearConv; the chip
+        keeps the finer per-channel scales), int8 weight initializer with
+        per-out-channel scales quantized AFTER BN folding, fp32 bias."""
         k2, s2 = _pair(k), _pair(stride)
         p2 = _pair(_autopad(k, pad))
         w, bias = _fold_bn(p["conv"]["kernel"], p["bn"], s["bn"])
-        y = self.b.conv(x, w, bias, s2, p2, g)
+        q = self._qmap.get(id(p))
+        if q is not None:
+            s_a = float(np.max(np.asarray(q["s_in"], np.float32)))
+            x = self.b.qdq(x, np.float32(s_a))
+            s_w = np.maximum(np.abs(w).max(axis=(1, 2, 3)) / 127.0, 1e-8)
+            w8 = np.clip(np.round(w / s_w[:, None, None, None]),
+                         -127, 127).astype(np.int8)
+            wname = self.b.dequant_weight(w8, s_w)
+            y = self.b.conv(x, wname, bias, s2, p2, g)
+        else:
+            y = self.b.conv(x, w, bias, s2, p2, g)
         return self.b.silu(y) if act is True else y
 
     def bottleneck(self, x: str, p: dict, s: dict, c1: int, c2: int,

@@ -211,6 +211,21 @@ def run(model: OnnxModel, feeds: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]
         elif op == "ReduceMax":
             y = i[0].max(axis=tuple(a["axes"]),
                          keepdims=bool(a.get("keepdims", 1))).astype(np.float32)
+        elif op == "QuantizeLinear":
+            s = i[1]
+            if s.ndim:  # per-axis
+                ax = a.get("axis", 1)
+                s = s.reshape([-1 if d == ax % i[0].ndim else 1
+                               for d in range(i[0].ndim)])
+            # round-half-to-even per spec, saturate to int8 (zero_point 0)
+            y = np.clip(np.rint(i[0] / s), -128, 127).astype(np.int8)
+        elif op == "DequantizeLinear":
+            s = i[1]
+            if s.ndim:
+                ax = a.get("axis", 1)
+                s = s.reshape([-1 if d == ax % i[0].ndim else 1
+                               for d in range(i[0].ndim)])
+            y = (i[0].astype(np.float32) * s).astype(np.float32)
         elif op == "NonMaxSuppression":
             # spec default max_output_boxes_per_class=0 selects NOTHING
             y = _nms(i[0], i[1],

@@ -275,3 +275,48 @@ def test_unsupported_module_message():
     cfg2 = dataclasses.replace(cfg, layers=(bad,) + cfg.layers[1:])
     with pytest.raises(NotImplementedError, match="no emitter"):
         export_onnx(cfg2, {"params": {}}, batch=1, imgsz=64)
+
+
+def test_int8_qdq_roundtrip():
+    """int8 QDQ export: every layers.Conv is emitted as activation Q/DQ +
+    int8-weight DequantizeLinear (the deployable W8A8 artifact of
+    utils/quantize.py); the numpy evaluator executes the quantized graph and
+    its outputs stay close to both the fp ONNX graph and the framework's own
+    int8 path."""
+    from icafusion_tpu.utils.quantize import calibrate, quantize_variables
+
+    cfg = zoo.tiny_icafusion_config(nc=3, fusion="tfb")
+    model = build_model(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    rgb = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    ir = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(rgb), jnp.asarray(ir),
+                           train=False, decode=False)
+    variables = jax.tree.map(jnp.asarray, _jitter(variables, 0))
+    qvars = quantize_variables(
+        dict(variables),
+        calibrate(model, variables, [(jnp.asarray(rgb), jnp.asarray(ir))]))
+
+    fp_blob = export_onnx(cfg, jax.tree.map(np.asarray, variables),
+                          batch=1, imgsz=64)
+    q_blob = export_onnx(cfg, jax.tree.map(np.asarray, qvars),
+                         batch=1, imgsz=64)
+    m = onnx_proto.load(q_blob)
+    ops = [n.op_type for n in m.nodes]
+    n_q, n_dq = ops.count("QuantizeLinear"), ops.count("DequantizeLinear")
+    assert n_q > 10, "every layers.Conv must carry an activation QDQ pair"
+    assert n_dq == 2 * n_q, "each Q has an act-DQ; each conv adds a weight-DQ"
+
+    feeds = {"rgb": rgb.transpose(0, 3, 1, 2), "ir": ir.transpose(0, 3, 1, 2)}
+    (fp,) = onnx_numpy.run(onnx_proto.load(fp_blob), feeds).values()
+    (q8,) = onnx_numpy.run(m, feeds).values()
+    assert q8.shape == fp.shape
+    assert np.isfinite(q8).all()
+    # quantization error must be bounded: obj/cls scores within a few percent
+    assert np.abs(q8[..., 4:] - fp[..., 4:]).max() < 0.05
+    # and the QDQ graph must track the framework's own int8 path at least as
+    # closely as it tracks fp32 (same weights, same 8-bit budget)
+    qpred, _, _ = model.apply(qvars, jnp.asarray(rgb), jnp.asarray(ir),
+                              train=False, decode=True)
+    assert np.abs(q8[..., 4:] - np.asarray(qpred)[..., 4:]).max() < 0.05
