@@ -49,6 +49,11 @@ def main():
                     help="serve bf16 (no quantization)")
     ap.add_argument("--train", action="store_true",
                     help="benchmark the training step instead of serving")
+    ap.add_argument("--merge", type=int, default=None, metavar="K",
+                    help="stream-merge the first K RGB/IR layer pairs into "
+                         "block-diagonal modules (utils/stream_merge.py; MXU "
+                         "lane recovery on sub-128-ch stages). Default: 3 "
+                         "for serving (measured win), 0 disables")
     ap.add_argument("--input-dtype", default="f32", choices=["f32", "bf16"],
                     help="--train only: dtype of the device-resident image "
                          "batch (bf16 removes the in-step f32->bf16 "
@@ -80,6 +85,13 @@ def main():
     print(f"init {time.time()-t0:.0f}s", file=sys.stderr)
 
     mode = "bf16"
+    merge = args.merge if args.merge is not None else 0
+    if merge:
+        from icafusion_tpu.utils.stream_merge import merge_stream_variables
+        variables = merge_stream_variables(cfg, jax.device_get(variables),
+                                           pairs=merge)
+        model = build_model(cfg, dtype=dtype, merge_pairs=merge)
+        mode += f"+merge{merge}"
     if args.int8:
         from icafusion_tpu.utils.quantize import calibrate, quantize_variables
         t0 = time.time()
@@ -87,7 +99,7 @@ def main():
         variables = quantize_variables(variables, calib)
         print(f"int8 calibration+quantize {time.time()-t0:.0f}s",
               file=sys.stderr)
-        mode = "int8-W8A8"
+        mode = "int8-W8A8" + (f"+merge{merge}" if merge else "")
 
     @jax.jit
     def serve(v, a, b):

@@ -229,9 +229,15 @@ class ICAFusionModel(nn.Module):
       decode=True        -> (pred (b, N, no) decoded px boxes+scores,
                              cls_logits (b, N, nc), raw list)
     matching Model.forward_once semantics (yolo_test.py:115-163, Detect :43-65).
+
+    merge_pairs=k runs the first k (RGB, IR) layer pairs as single modules on
+    the channel-concatenated input with block-diagonal kernels — an MXU
+    lane-recovery transform for the sub-128-channel stages (see
+    utils/stream_merge.py); apply with merge_stream_variables(cfg, vars, k).
     """
     cfg: ModelConfig
     dtype: Dtype = jnp.float32
+    merge_pairs: int = 0
 
     @nn.nowrap
     def detect_layer(self) -> ResolvedLayer:
@@ -258,7 +264,35 @@ class ICAFusionModel(nn.Module):
         out = x.astype(self.dtype)
         x2 = out if x2 is None else x2.astype(self.dtype)
 
+        skip: frozenset = frozenset()
+        s = 0
+        if self.merge_pairs:
+            from icafusion_tpu.utils.stream_merge import (merged_args,
+                                                          validate_merge)
+            k = self.merge_pairs
+            s = validate_merge(resolved, k)
+            skip = frozenset(range(k)) | frozenset(range(s, s + k))
+            if skip & (set(capture) | set(overrides or ())):
+                raise ValueError("capture/overrides cannot target stream-"
+                                 f"merged layers {sorted(skip)}")
+            xm = jnp.concatenate([out, x2], axis=-1)
+            for i in range(k):
+                r = resolved[i]
+                xm = MODULE_BUILDERS[r.module](
+                    merged_args(r.args), self.dtype,
+                    f"m{r.i}_{s + r.i}")(xm, train=train)
+                if r.i in save:
+                    y[r.i] = xm[..., :r.c2]
+                if s + r.i in save:
+                    y[s + r.i] = xm[..., r.c2:]
+            out = xm[..., :resolved[k - 1].c2]
+            x2 = xm[..., resolved[k - 1].c2:]  # layer s+k chains on this
+
         for r in resolved:
+            if r.i in skip:
+                continue
+            if skip and r.i == s + self.merge_pairs and r.f == -1:
+                out = x2  # resume the IR tower from the merged block's B half
             # resolve inputs (yolo_test.py:140-142, :154-156)
             if r.f == -4:
                 inp = x2
@@ -315,8 +349,9 @@ def anchors_grid_units(cfg: ModelConfig) -> np.ndarray:
     return a / np.asarray(strides, np.float32).reshape(-1, 1, 1)
 
 
-def build_model(cfg: ModelConfig, dtype=jnp.float32) -> ICAFusionModel:
+def build_model(cfg: ModelConfig, dtype=jnp.float32,
+                merge_pairs: int = 0) -> ICAFusionModel:
     missing = {l.module for l in cfg.layers} - set(MODULE_BUILDERS) - {"Detect"}
     if missing:
         raise ValueError(f"config {cfg.name}: unknown modules {sorted(missing)}")
-    return ICAFusionModel(cfg=cfg, dtype=dtype)
+    return ICAFusionModel(cfg=cfg, dtype=dtype, merge_pairs=merge_pairs)

@@ -38,8 +38,19 @@ class ServingEngine:
     max_det: int = 300
     n_devices: Optional[int] = None
     dtype: str = "bfloat16"
+    merge_streams: int = 0   # run the first k RGB/IR layer pairs as one
+    # block-diagonal module each — MXU lane recovery on the sub-128-channel
+    # stages (utils/stream_merge.py); numerically identical outputs
 
     def __post_init__(self):
+        if self.merge_streams:
+            from icafusion_tpu.models.assembler import build_model
+            from icafusion_tpu.utils.stream_merge import merge_stream_variables
+            self.variables = merge_stream_variables(
+                self.model.cfg, jax.device_get(self.variables),
+                pairs=self.merge_streams)
+            self.model = build_model(self.model.cfg, dtype=self.model.dtype,
+                                     merge_pairs=self.merge_streams)
         self.mesh = make_mesh(self.n_devices)
         repl = NamedSharding(self.mesh, P())
         data = NamedSharding(self.mesh, P("data"))

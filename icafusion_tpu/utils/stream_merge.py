@@ -1,0 +1,172 @@
+"""Stream-merge: run the two towers' lane-starved stages as ONE conv.
+
+The reference executes the RGB and IR backbones as two separate module chains
+(yolo_test.py:140-156 routes layer 10's input to the second image via -4); on
+the MXU that wastes half the systolic array for every sub-128-channel stage:
+XLA pads BOTH channel operands of a 64-ch conv to the 128-lane width, so an
+isolated 3x3 64->64 costs the same as a 3x3 128->128 (BENCH.md round-2
+per-instance profile — the two 64-ch stages run at 11-24% MFU and appear
+twice, once per stream).
+
+This transform concatenates the streams on the channel axis and replaces each
+(layer i, layer s+i) pair with a single module whose kernels are BLOCK-
+DIAGONAL scatters of the two per-stream kernels — the padding lanes XLA burns
+anyway now carry the other stream, and the zero blocks contribute exact zeros,
+so outputs are numerically identical (bit-identical on the int8 path, where
+accumulation is exact int32). C3's cv3 needs its input rows permuted because
+the merged concat interleaves the two streams' branch outputs; any fixed
+channel permutation folds into the next kernel's row placement at transform
+time — zero runtime cost.
+
+Only the first `pairs` layer pairs are merged (the >=128-channel stages
+already run at 51-64% MFU; block-diagonal merging there would double useful
+FLOPs for no lane recovery). Apply with:
+
+    mvars = merge_stream_variables(cfg, variables, pairs=3)
+    mmodel = build_model(cfg, dtype=..., merge_pairs=3)
+    mmodel.apply(mvars, rgb, ir, ...)
+
+Composes with int8 PTQ by merging FIRST, then calibrating/quantizing the
+merged model (utils/quantize.py is purely tree-driven and the merged input's
+per-channel absmax equals the concat of the per-stream absmaxes).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+MERGEABLE = ("Conv", "C3")
+
+
+def ir_stream_start(resolved) -> int:
+    """Index of the IR tower's first layer (the one fed by -4)."""
+    for r in resolved:
+        if r.f == -4:
+            return r.i
+    raise ValueError("not a two-stream model: no layer takes the -4 input")
+
+
+def validate_merge(resolved, pairs: int) -> int:
+    """Check layers 0..pairs-1 pair structurally with s..s+pairs-1; return s."""
+    s = ir_stream_start(resolved)
+    if not 0 < pairs <= s:
+        raise ValueError(f"merge_pairs must be in 1..{s} for this graph")
+    for i in range(pairs):
+        a, b = resolved[i], resolved[s + i]
+        if a.module not in MERGEABLE:
+            raise ValueError(f"layer {i} ({a.module}) is not stream-mergeable "
+                             f"(supported: {MERGEABLE})")
+        if (a.module, a.args, a.n) != (b.module, b.args, b.n):
+            raise ValueError(f"layers {i} and {s+i} differ: "
+                             f"{a.module}{a.args} vs {b.module}{b.args}")
+        if b.f not in (-1, -4) or (i > 0 and a.f != -1):
+            raise ValueError(f"merged layers must form plain chains; layer "
+                             f"{s+i} has from={b.f}")
+        if a.module == "Conv" and len(a.args) > 5 and a.args[5] != 1:
+            raise ValueError("grouped Conv cannot be stream-merged")
+    if pairs < s and resolved[s + pairs].f != -1:
+        raise ValueError(f"layer {s+pairs} must chain on the previous layer")
+    return s
+
+
+def merged_args(args: Tuple) -> Tuple:
+    """Double the channel args (c1, c2 lead every mergeable module's args)."""
+    a = list(args)
+    a[0], a[1] = 2 * a[0], 2 * a[1]
+    return tuple(a)
+
+
+# ---------------------------------------------------------------------------
+# variables transform
+# ---------------------------------------------------------------------------
+
+def _merged_kernel(kA: np.ndarray, kB: np.ndarray,
+                   rows_a=None, rows_b=None) -> np.ndarray:
+    """HWIO block scatter: kA into rows rows_a / first coA output columns,
+    kB into rows rows_b / remaining columns, zeros elsewhere."""
+    kh, kw, ci_a, co_a = kA.shape
+    ci_b, co_b = kB.shape[2:]
+    if rows_a is None:
+        rows_a = np.arange(ci_a)
+    if rows_b is None:
+        rows_b = ci_a + np.arange(ci_b)
+    k = np.zeros((kh, kw, ci_a + ci_b, co_a + co_b), np.result_type(kA, kB))
+    k[:, :, rows_a, :co_a] = kA
+    k[:, :, rows_b, co_a:] = kB
+    return k
+
+
+def _concat_tree(a, b):
+    """Concat matching BN-leaf trees on their (only) channel axis."""
+    if isinstance(a, dict):
+        return {k: _concat_tree(a[k], b[k]) for k in a}
+    return np.concatenate([np.asarray(a), np.asarray(b)], axis=0)
+
+
+def _merge_conv(a: dict, b: dict, rows_a=None, rows_b=None) -> dict:
+    """layers.Conv subtree: {'conv': {'kernel'}, 'bn': {...}} (params) or
+    {'bn': {...}} (batch_stats)."""
+    out = {}
+    if "conv" in a:
+        out["conv"] = {"kernel": _merged_kernel(
+            np.asarray(a["conv"]["kernel"]), np.asarray(b["conv"]["kernel"]),
+            rows_a, rows_b)}
+    if "bn" in a:
+        out["bn"] = _concat_tree(a["bn"], b["bn"])
+    return out
+
+
+def _merge_c3(a: dict, b: dict, c_: int) -> dict:
+    """layers.C3 subtree. c_ = the PER-STREAM hidden width (c2*e).
+
+    Merged branch outputs concat as [A1|B1|A2|B2] (each c_ wide) while each
+    per-stream cv3 consumed [Ai|Aii]; scatter cv3's rows accordingly."""
+    out = {}
+    for k in a:
+        if k in ("cv1", "cv2") or k.startswith("m"):
+            if k.startswith("m"):  # Bottleneck: {'cv1': Conv, 'cv2': Conv}
+                out[k] = {kk: _merge_conv(a[k][kk], b[k][kk]) for kk in a[k]}
+            else:
+                out[k] = _merge_conv(a[k], b[k])
+        elif k == "cv3":
+            rows_a = np.concatenate([np.arange(c_), 2 * c_ + np.arange(c_)])
+            rows_b = rows_a + c_
+            out[k] = _merge_conv(a[k], b[k], rows_a, rows_b)
+        else:  # pragma: no cover - C3 has no other children
+            raise ValueError(f"unexpected C3 child {k!r}")
+    return out
+
+
+def merge_stream_variables(cfg, variables: dict, pairs: int) -> dict:
+    """Return a variables dict for build_model(cfg, merge_pairs=pairs):
+    per-stream subtrees m{i}/m{s+i} replaced by merged m{i}_{s+i}."""
+    from icafusion_tpu.models.assembler import resolve_model
+
+    resolved, _ = resolve_model(cfg)
+    s = validate_merge(resolved, pairs)
+
+    out = {}
+    for col in variables:
+        if col == "calib":
+            continue  # never persisted — regenerate via calibrate() on the
+            # merged model (its absmax is the concat of the streams')
+        if col not in ("params", "batch_stats"):
+            raise ValueError(
+                f"merge before adding the {col!r} collection (quantize the "
+                "merged model: its calib absmax is the concat of the streams')")
+        tree = dict(variables[col])
+        for i in range(pairs):
+            r = resolved[i]
+            a = tree.pop(f"m{i}", None)
+            b = tree.pop(f"m{s+i}", None)
+            if a is None and b is None:
+                continue  # collection doesn't cover these layers
+            if r.module == "Conv":
+                merged = _merge_conv(a, b)
+            else:  # C3 — e fixed at the reference default 0.5 for shipped cfgs
+                merged = _merge_c3(a, b, c_=int(r.args[1] * 0.5))
+            tree[f"m{i}_{s+i}"] = merged
+        out[col] = tree
+    return out

@@ -1,0 +1,83 @@
+"""Stream-merge transform (utils/stream_merge.py): the two towers' leading
+layer pairs run as single block-diagonal modules on the channel-concatenated
+input — numerically identical to the reference's separate-chain execution
+(yolo_test.py:140-156), recovering the MXU lanes XLA pads away on
+sub-128-channel convs (BENCH.md round-2 profile)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from icafusion_tpu.models import build_model
+from icafusion_tpu.models.assembler import resolve_model
+from icafusion_tpu.models.zoo import tiny_icafusion_config
+from icafusion_tpu.utils.quantize import calibrate, quantize_variables
+from icafusion_tpu.utils.stream_merge import (merge_stream_variables,
+                                              validate_merge)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_icafusion_config(nc=3, fusion="tfb")
+    model = build_model(cfg)
+    rng = np.random.default_rng(0)
+    rgb = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)), jnp.float32)
+    ir = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)), jnp.float32)
+    v = model.init({"params": jax.random.PRNGKey(0)}, rgb, ir,
+                   train=False, decode=False)
+    v = {"params": v["params"], "batch_stats": v["batch_stats"]}
+    return cfg, model, v, rgb, ir
+
+
+@pytest.mark.parametrize("k", [1, 3, 5])
+def test_fp_parity(setup, k):
+    """Merged forward == separate-stream forward (k=5 also exercises the
+    sliced save of layer 4, referenced by the first fusion block)."""
+    cfg, model, v, rgb, ir = setup
+    ref, _, _ = model.apply(v, rgb, ir, train=False, decode=True)
+    mv = merge_stream_variables(cfg, v, pairs=k)
+    mm = build_model(cfg, merge_pairs=k)
+    got, _, _ = mm.apply(mv, rgb, ir, train=False, decode=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_int8_composition(setup):
+    """Merge-then-quantize tracks the unmerged int8 path: same per-channel
+    calibration absmaxes (the merged input is the concat of the streams),
+    exact int32 accumulation over the zero blocks."""
+    cfg, model, v, rgb, ir = setup
+    qv = quantize_variables(dict(v), calibrate(model, v, [(rgb, ir)]))
+    ref = model.apply(qv, rgb, ir, train=False, decode=False)
+
+    mv = merge_stream_variables(cfg, v, pairs=3)
+    mm = build_model(cfg, merge_pairs=3)
+    qmv = quantize_variables(dict(mv), calibrate(mm, mv, [(rgb, ir)]))
+    got = mm.apply(qmv, rgb, ir, train=False, decode=False)
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_validation(setup):
+    cfg, model, v, rgb, ir = setup
+    resolved, _ = resolve_model(cfg)
+    with pytest.raises(ValueError, match="merge_pairs must be in"):
+        validate_merge(resolved, 99)
+    with pytest.raises(ValueError, match="not stream-mergeable"):
+        validate_merge(resolved, 9)  # layer 8 is SPPF
+    with pytest.raises(ValueError, match="no layer takes the -4 input"):
+        from icafusion_tpu.utils.stream_merge import ir_stream_start
+        ir_stream_start(resolved[:8])  # RGB tower only
+
+
+def test_capture_conflict(setup):
+    cfg, model, v, rgb, ir = setup
+    mv = merge_stream_variables(cfg, v, pairs=3)
+    mm = build_model(cfg, merge_pairs=3)
+    with pytest.raises(ValueError, match="capture/overrides"):
+        mm.apply(mv, rgb, ir, train=False, decode=False, capture=(1,))
+    # capture of an unmerged layer still works
+    (_, cap) = mm.apply(mv, rgb, ir, train=False, decode=False, capture=(4,))
+    assert 4 in cap
