@@ -162,6 +162,7 @@ def bench_train(args):
     cfg = icafusion_config(args.scale, nc=3, fusion="tfb")
     model = build_model(cfg, dtype=dtype)
     hyp = load_hyp_config()
+    merge = args.merge if args.merge is not None else 0
     tr = Trainer(model=model, hyp=hyp, epochs=60, steps_per_epoch=100,
                  batch_size=B, imgsz=args.imgsz)
     rng = jax.random.PRNGKey(0)
@@ -170,8 +171,24 @@ def bench_train(args):
     ir = jax.random.uniform(jax.random.PRNGKey(1), rgb.shape).astype(in_dtype)
     t, m = pad_targets([np.array([[0, 0.5, 0.5, 0.3, 0.3]], np.float32)] * B, 64)
     t, m = jnp.asarray(t), jnp.asarray(m)
-    state = tr.init_state(rng, rgb[:1], ir[:1])
-    step = jax.jit(tr.make_train_step(), donate_argnums=(0,))
+    mask = None
+    if merge:
+        # masked stream-merged training: step-for-step identical to the
+        # separate-stream step (tests/test_stream_merge.py), 64-ch stages
+        # run on full MXU lanes in fwd + both grad convs
+        from icafusion_tpu.utils.stream_merge import (grad_mask,
+                                                      merge_stream_variables)
+        v0 = jax.device_get(tr.init_state(rng, rgb[:1], ir[:1]))
+        mv = merge_stream_variables(
+            cfg, {"params": v0.params, "batch_stats": v0.batch_stats}, merge)
+        mask = jax.tree.map(jnp.asarray, grad_mask(cfg, mv["params"], merge))
+        tr = Trainer(model=build_model(cfg, dtype=dtype, merge_pairs=merge),
+                     hyp=hyp, epochs=60, steps_per_epoch=100,
+                     batch_size=B, imgsz=args.imgsz)
+        state = tr.init_state(rng, rgb[:1], ir[:1], variables=mv)
+    else:
+        state = tr.init_state(rng, rgb[:1], ir[:1])
+    step = jax.jit(tr.make_train_step(grad_mask=mask), donate_argnums=(0,))
 
     t0 = time.time()
     state, met = step(state, rgb, ir, t, m)
@@ -188,7 +205,8 @@ def bench_train(args):
     ips = B / dt
     print(json.dumps({
         "metric": f"icafusion_{args.scale} paired {args.imgsz} training step "
-                  f"(fwd+bwd+loss+SGD+EMA, {'fp32' if args.fp32 else 'bf16'}, "
+                  f"(fwd+bwd+loss+SGD+EMA, {'fp32' if args.fp32 else 'bf16'}"
+                  f"{f'+merge{merge}' if merge else ''}, "
                   f"batch {B}, device-resident inputs); vs_baseline uses an "
                   "ESTIMATED A100 ~30 img/s train rate (derived, not measured)",
         "value": round(ips, 1),

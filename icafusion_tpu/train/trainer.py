@@ -75,11 +75,16 @@ class Trainer:
                                  total_batch_size=self.batch_size * self.accum_steps,
                                  warmup_min_steps=self.warmup_min_steps)
 
-    def init_state(self, rng, sample_rgb, sample_ir) -> TrainState:
+    def init_state(self, rng, sample_rgb, sample_ir,
+                   variables: Any = None) -> TrainState:
+        """variables: pre-built {'params', 'batch_stats'} to adopt instead of
+        a fresh init — e.g. a checkpoint pushed through
+        merge_stream_variables for stream-merged training."""
         init_rng, state_rng = jax.random.split(rng)
-        variables = jax.jit(self.model.init, static_argnames=("train", "decode"))(
-            {"params": init_rng, "dropout": init_rng},
-            sample_rgb, sample_ir, train=True, decode=False)
+        if variables is None:
+            variables = jax.jit(self.model.init, static_argnames=("train", "decode"))(
+                {"params": init_rng, "dropout": init_rng},
+                sample_rgb, sample_ir, train=True, decode=False)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         return TrainState(
@@ -90,7 +95,8 @@ class Trainer:
             rng=state_rng,
         )
 
-    def make_train_step(self, scale: float = 1.0) -> Callable:
+    def make_train_step(self, scale: float = 1.0,
+                        grad_mask: Any = None) -> Callable:
         """Returns train_step(state, rgb, ir, targets, mask) -> (state, metrics).
 
         rgb/ir: (A*B, H, W, 3) float in [0,1]; targets (A*B, T, 5); mask (A*B, T)
@@ -99,7 +105,11 @@ class Trainer:
         scale != 1.0 resizes the batch on device to round(H*scale/32)*32 before
         the forward — the multi-scale training analog (reference train.py:325-331
         picks a random size per batch; under XLA each size is its own compiled
-        step, so callers pick from a small bucket set)."""
+        step, so callers pick from a small bucket set).
+
+        grad_mask: optional 0/1 pytree matching params, multiplied into the
+        gradient before the optimizer — used by the stream-merged training
+        graph to pin the block-diagonal zeros (utils/stream_merge.grad_mask)."""
         model, loss_fn, optimizer = self.model, self.loss_fn, self.optimizer
         A = self.accum_steps
 
@@ -150,6 +160,8 @@ class Trainer:
                 loss = loss / A
                 items = items / A
 
+            if grad_mask is not None:
+                grads = jax.tree.map(jnp.multiply, grads, grad_mask)
             new_params, new_opt = optimizer.update(grads, state.opt, state.params)
             new_ema = ema_update(state.ema,
                                  {"params": new_params, "batch_stats": new_bs},

@@ -29,6 +29,17 @@ FLOPs for no lane recovery). Apply with:
 Composes with int8 PTQ by merging FIRST, then calibrating/quantizing the
 merged model (utils/quantize.py is purely tree-driven and the merged input's
 per-channel absmax equals the concat of the per-stream absmaxes).
+
+TRAINING on the merged graph is also exact, with one addition: the zero
+blocks of a merged kernel receive nonzero weight-gradients (each stream's
+activations correlate with the other's output error through the shared
+conv), so unconstrained SGD would couple the streams. Multiplying the
+gradient by the block-support mask (grad_mask()) restores step-for-step
+equivalence: masked grads keep the zero blocks at exactly zero under
+SGD/momentum/weight-decay/EMA (0 stays 0 through all of them), and the
+64-ch stages appear THREE times in a train step (forward + data-grad +
+weight-grad convs). unmerge_stream_variables() slices a trained merged
+checkpoint back to the reference layout.
 """
 
 from __future__ import annotations
@@ -131,12 +142,95 @@ def _merge_c3(a: dict, b: dict, c_: int) -> dict:
             else:
                 out[k] = _merge_conv(a[k], b[k])
         elif k == "cv3":
-            rows_a = np.concatenate([np.arange(c_), 2 * c_ + np.arange(c_)])
-            rows_b = rows_a + c_
+            rows_a, rows_b = _c3_cv3_rows(c_)
             out[k] = _merge_conv(a[k], b[k], rows_a, rows_b)
         else:  # pragma: no cover - C3 has no other children
             raise ValueError(f"unexpected C3 child {k!r}")
     return out
+
+
+def _c3_cv3_rows(c_: int):
+    rows_a = np.concatenate([np.arange(c_), 2 * c_ + np.arange(c_)])
+    return rows_a, rows_a + c_
+
+
+def _split_conv(m: dict, rows_a=None, rows_b=None) -> Tuple[dict, dict]:
+    """Inverse of _merge_conv: slice the two per-stream subtrees back out."""
+    a, b = {}, {}
+    if "conv" in m:
+        k = np.asarray(m["conv"]["kernel"])
+        co = k.shape[3] // 2
+        if rows_a is None:
+            ci = k.shape[2] // 2
+            rows_a, rows_b = np.arange(ci), ci + np.arange(ci)
+        a["conv"] = {"kernel": k[:, :, rows_a, :co]}
+        b["conv"] = {"kernel": k[:, :, rows_b, co:]}
+    if "bn" in m:
+        def split(t, half):
+            if isinstance(t, dict):
+                return {k2: split(v, half) for k2, v in t.items()}
+            t = np.asarray(t)
+            c = t.shape[0] // 2
+            return t[:c] if half == 0 else t[c:]
+        a["bn"] = split(m["bn"], 0)
+        b["bn"] = split(m["bn"], 1)
+    return a, b
+
+
+def _split_c3(m: dict, c_: int) -> Tuple[dict, dict]:
+    a, b = {}, {}
+    for k in m:
+        if k == "cv3":
+            rows_a, rows_b = _c3_cv3_rows(c_)
+            a[k], b[k] = _split_conv(m[k], rows_a, rows_b)
+        elif k.startswith("m") and k != "bn":
+            a[k], b[k] = {}, {}
+            for kk in m[k]:
+                a[k][kk], b[k][kk] = _split_conv(m[k][kk])
+        else:
+            a[k], b[k] = _split_conv(m[k])
+    return a, b
+
+
+def unmerge_stream_variables(cfg, variables: dict, pairs: int) -> dict:
+    """Inverse of merge_stream_variables: slice merged m{i}_{s+i} subtrees
+    back into per-stream m{i} / m{s+i} — e.g. to write a reference-layout
+    checkpoint after training on the merged graph."""
+    from icafusion_tpu.models.assembler import resolve_model
+
+    resolved, _ = resolve_model(cfg)
+    s = validate_merge(resolved, pairs)
+    out = {}
+    for col in variables:
+        if col == "calib":
+            continue
+        tree = dict(variables[col])
+        for i in range(pairs):
+            r = resolved[i]
+            m = tree.pop(f"m{i}_{s+i}", None)
+            if m is None:
+                continue
+            if r.module == "Conv":
+                a, b = _split_conv(m)
+            else:
+                a, b = _split_c3(m, c_=int(r.args[1] * 0.5))
+            tree[f"m{i}"], tree[f"m{s+i}"] = a, b
+        out[col] = tree
+    return out
+
+
+def grad_mask(cfg, params: dict, pairs: int):
+    """0/1 pytree matching merged `params`: 1 on the block-diagonal support
+    of every merged kernel (and on all other leaves), 0 on the zero blocks.
+    Multiply gradients by this each step — zero blocks then stay exactly
+    zero through SGD/momentum/weight-decay/EMA, making merged training
+    step-for-step equivalent to separate-stream training."""
+    import jax
+
+    ones = jax.tree.map(lambda x: np.ones(np.shape(x), np.float32),
+                        {"params": params})
+    split = unmerge_stream_variables(cfg, ones, pairs)
+    return merge_stream_variables(cfg, split, pairs)["params"]
 
 
 def merge_stream_variables(cfg, variables: dict, pairs: int) -> dict:

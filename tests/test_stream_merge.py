@@ -72,6 +72,76 @@ def test_validation(setup):
         ir_stream_start(resolved[:8])  # RGB tower only
 
 
+def test_unmerge_roundtrip(setup):
+    """merge -> unmerge is the identity on every leaf (bit-exact slices)."""
+    import jax.tree_util as tu
+
+    from icafusion_tpu.utils.stream_merge import unmerge_stream_variables
+
+    cfg, model, v, rgb, ir = setup
+    rt = unmerge_stream_variables(cfg, merge_stream_variables(cfg, v, 3), 3)
+    a = {tu.keystr(p): np.asarray(l) for p, l in
+         tu.tree_leaves_with_path(jax.device_get(v))}
+    b = {tu.keystr(p): np.asarray(l) for p, l in tu.tree_leaves_with_path(rt)}
+    assert a.keys() == b.keys()
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_train_equivalence(setup):
+    """Masked merged training == separate-stream training step-for-step
+    (same losses up to float summation order), and the block-diagonal zeros
+    stay EXACTLY zero — so the merged graph trains the reference model, just
+    on full MXU lanes."""
+    import jax.tree_util as tu
+
+    from icafusion_tpu.config import load_hyp_config
+    from icafusion_tpu.train.loss import pad_targets
+    from icafusion_tpu.train.trainer import Trainer
+    from icafusion_tpu.utils.stream_merge import (grad_mask,
+                                                  unmerge_stream_variables)
+
+    cfg, model, v0, rgb, ir = setup
+    hyp = load_hyp_config()
+    B = rgb.shape[0]
+    t, m = pad_targets([np.array([[0, .5, .5, .3, .3]], np.float32)] * B, 8)
+    t, m = jnp.asarray(t), jnp.asarray(m)
+
+    kw = dict(hyp=hyp, epochs=3, steps_per_epoch=5, batch_size=B,
+              imgsz=rgb.shape[1], warmup_min_steps=0)
+    tr = Trainer(model=model, **kw)
+    st = tr.init_state(jax.random.PRNGKey(0), rgb[:1], ir[:1],
+                       variables=jax.device_get(v0))
+
+    mv = merge_stream_variables(cfg, v0, pairs=3)
+    mask = grad_mask(cfg, mv["params"], pairs=3)
+    mtr = Trainer(model=build_model(cfg, merge_pairs=3), **kw)
+    mst = mtr.init_state(jax.random.PRNGKey(0), rgb[:1], ir[:1], variables=mv)
+
+    step = jax.jit(tr.make_train_step())
+    mstep = jax.jit(mtr.make_train_step(grad_mask=mask))
+    for _ in range(3):
+        st, met = step(st, rgb, ir, t, m)
+        mst, mmet = mstep(mst, rgb, ir, t, m)
+        assert abs(float(met["loss"]) - float(mmet["loss"])) < 1e-4
+
+    mp = jax.device_get(mst.params)
+    k0 = np.asarray(mp["m0_9"]["conv"]["kernel"])  # (6,6,6,32): blocks 3/16
+    assert np.all(k0[:, :, 3:, :16] == 0) and np.all(k0[:, :, :3, 16:] == 0), \
+        "gradient mask failed to pin the zero blocks"
+
+    um = unmerge_stream_variables(
+        cfg, {"params": mp, "batch_stats": jax.device_get(mst.batch_stats)},
+        pairs=3)
+    a = {tu.keystr(p): np.asarray(l) for p, l in
+         tu.tree_leaves_with_path(jax.device_get(st.params))}
+    b = {tu.keystr(p): np.asarray(l)
+         for p, l in tu.tree_leaves_with_path(um["params"])}
+    assert a.keys() == b.keys()
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], atol=1e-4, err_msg=k)
+
+
 def test_capture_conflict(setup):
     cfg, model, v, rgb, ir = setup
     mv = merge_stream_variables(cfg, v, pairs=3)
