@@ -50,6 +50,12 @@ def parse_args(argv=None):
     ap.add_argument("--distributed", action="store_true",
                     help="multi-host SPMD: jax.distributed.initialize() + "
                          "process_index()==0 side-effect gating")
+    ap.add_argument("--merge-streams", type=int, default=0, metavar="K",
+                    help="stream-merged training: run the first K RGB/IR "
+                         "layer pairs block-diagonal with masked grads — "
+                         "identical trajectory, full MXU lanes on sub-128-ch "
+                         "stages (utils/stream_merge.py); checkpoints keep "
+                         "the standard layout")
     return ap.parse_args(argv)
 
 
@@ -87,7 +93,8 @@ def main(argv=None):
             multi_scale=args.multi_scale, image_weights=args.image_weights,
             autoanchor=not args.noautoanchor,
             accum_steps=resolve_accum(args.accum, args.batch_size),
-            distributed=args.distributed, adam=args.adam)
+            distributed=args.distributed, adam=args.adam,
+            merge_streams=args.merge_streams)
 
     if args.evolve:
         # GA over the hyp space: each generation is a short fit() run scored

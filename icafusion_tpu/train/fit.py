@@ -98,6 +98,11 @@ class FitConfig:
     # torch.optim.Adam instead of SGD (reference --adam, train.py:128-146);
     # betas=(hyp.momentum, 0.999), same 3 param groups
     adam: bool = False
+    # stream-merged training (utils/stream_merge.py): run the first K RGB/IR
+    # layer pairs as block-diagonal modules with masked gradients — exact
+    # same training trajectory, sub-128-ch stages on full MXU lanes.
+    # Checkpoints are written in the standard (unmerged) layout.
+    merge_streams: int = 0
 
 
 def fit(cfg: FitConfig) -> dict:
@@ -210,6 +215,24 @@ def fit(cfg: FitConfig) -> dict:
         best_fit = float(ckpt["meta"]["best_fitness"])
         log(f"resumed from {cfg.resume} at epoch {start_epoch}")
 
+    # --- stream-merged training (optional) ---
+    merge_k = int(cfg.merge_streams or 0)
+    gmask = None
+    if merge_k:
+        from icafusion_tpu.utils.stream_merge import (grad_mask,
+                                                      merge_train_state)
+        state = merge_train_state(model_cfg, state, merge_k)
+        model = build_model(model_cfg, dtype=dtype, merge_pairs=merge_k)
+        trainer = Trainer(model=model, hyp=cfg.hyp, epochs=cfg.epochs,
+                          steps_per_epoch=loader.steps_per_epoch,
+                          batch_size=cfg.batch_size, imgsz=cfg.imgsz,
+                          warmup_min_steps=cfg.warmup_min_steps,
+                          accum_steps=accum, adam=cfg.adam)
+        gmask = jax.tree.map(jnp.asarray,
+                             grad_mask(model_cfg, state.params, merge_k))
+        log(f"stream-merge: first {merge_k} RGB/IR layer pairs run block-"
+            "diagonal with masked grads (identical trajectory, full MXU lanes)")
+
     # --- SPMD step over the data mesh ---
     mesh = make_mesh(cfg.n_devices)
     repl = NamedSharding(mesh, P())
@@ -217,7 +240,7 @@ def fit(cfg: FitConfig) -> dict:
     state = jax.device_put(state, repl)
 
     def make_step(scale: float):
-        raw_step = trainer.make_train_step(scale=scale)
+        raw_step = trainer.make_train_step(scale=scale, grad_mask=gmask)
 
         def step_u8(st, rgb, ir, t, m):
             return raw_step(st, rgb.astype(jnp.float32) / 255.0,
@@ -236,6 +259,14 @@ def fit(cfg: FitConfig) -> dict:
     scale_rng = np.random.default_rng(cfg.seed + 1)
 
     evaluator = Evaluator(model=model, nc=cfg.data_cfg.nc)
+
+    def ckpt_view(st):
+        """Checkpoints always carry the standard layout: unmerge before write
+        (momentum/EMA zero blocks are exactly zero, so this is lossless)."""
+        if not merge_k:
+            return st
+        from icafusion_tpu.utils.stream_merge import unmerge_train_state
+        return unmerge_train_state(model_cfg, st, merge_k)
 
     results_csv = run_dir / "results.csv"
     if is_main and not results_csv.exists():
@@ -300,11 +331,11 @@ def fit(cfg: FitConfig) -> dict:
             if fit_val > best_fit:
                 best_fit = fit_val
                 if is_main:
-                    save_checkpoint(wdir / "best.ckpt", state, epoch, best_fit,
+                    save_checkpoint(wdir / "best.ckpt", ckpt_view(state), epoch, best_fit,
                                     background=True)
         if is_main and ((epoch + 1) % cfg.save_every == 0
                         or epoch == cfg.epochs - 1):
-            save_checkpoint(wdir / "last.ckpt", state, epoch, best_fit,
+            save_checkpoint(wdir / "last.ckpt", ckpt_view(state), epoch, best_fit,
                             background=True)
 
         dt = time.time() - t0

@@ -219,6 +219,43 @@ def unmerge_stream_variables(cfg, variables: dict, pairs: int) -> dict:
     return out
 
 
+def _transform_train_state(cfg, state, pairs: int, fn):
+    """Apply merge/unmerge to every params-shaped tree inside a TrainState:
+    params, batch_stats, optimizer momentum buffers (SGD pytree or Adam's
+    {'m','v'}), and the EMA shadow. Momentum/EMA zero blocks are exactly
+    zero under the gradient mask, so both directions are lossless."""
+    import jax
+
+    state = jax.device_get(state)
+
+    def pshaped(tree):
+        return fn(cfg, {"params": tree}, pairs)["params"]
+
+    mom = state.opt.momentum
+    if isinstance(mom, dict) and set(mom) == {"m", "v"}:  # YoloAdam
+        mom = {"m": pshaped(mom["m"]), "v": pshaped(mom["v"])}
+    else:
+        mom = pshaped(mom)
+    return state.replace(
+        params=pshaped(state.params),
+        batch_stats=fn(cfg, {"batch_stats": state.batch_stats},
+                       pairs)["batch_stats"],
+        opt=state.opt._replace(momentum=mom),
+        ema=state.ema._replace(tree=fn(cfg, state.ema.tree, pairs)))
+
+
+def merge_train_state(cfg, state, pairs: int):
+    """Reference-layout TrainState -> merged-graph TrainState (train with
+    build_model(cfg, merge_pairs=pairs) + make_train_step(grad_mask=...))."""
+    return _transform_train_state(cfg, state, pairs, merge_stream_variables)
+
+
+def unmerge_train_state(cfg, state, pairs: int):
+    """Merged-graph TrainState -> reference layout (checkpoints stay in the
+    standard layout so resume/export/conversion never see merged trees)."""
+    return _transform_train_state(cfg, state, pairs, unmerge_stream_variables)
+
+
 def grad_mask(cfg, params: dict, pairs: int):
     """0/1 pytree matching merged `params`: 1 on the block-diagonal support
     of every merged kernel (and on all other leaves), 0 on the zero blocks.

@@ -80,3 +80,50 @@ def test_fit_run_dir_artifacts(tmp_path):
     rows = list(csv.DictReader(open(run_dir / "results.csv")))
     assert len(rows) == 2
     assert all(float(r["lobj"]) > 0 for r in rows)
+
+
+@pytest.mark.slow
+def test_fit_merge_streams_checkpoints_standard_layout(tmp_path):
+    """fit(merge_streams=3) trains on the merged graph but writes checkpoints
+    in the standard per-stream layout: loadable by the normal (unmerged)
+    model, no merged m{i}_{j} keys, and resume re-merges transparently."""
+    from icafusion_tpu.config import DataConfig, load_hyp_config
+    from icafusion_tpu.models import build_model
+    from icafusion_tpu.models.zoo import tiny_icafusion_config
+    from icafusion_tpu.train.fit import FitConfig, fit
+    from icafusion_tpu.utils.checkpoint import load_checkpoint
+
+    _make_disk_dataset(tmp_path / "data", n=8)
+    data_cfg = DataConfig(nc=2, names=("a", "b"), path=str(tmp_path / "data"),
+                          train_rgb="visible/train", val_rgb="visible/train",
+                          train_ir="infrared/train", val_ir="infrared/train")
+    mc = tiny_icafusion_config(nc=2)
+    kw = dict(model_cfg=mc, data_cfg=data_cfg, hyp=load_hyp_config(None),
+              batch_size=4, imgsz=96, project=str(tmp_path / "runs"),
+              autoanchor=False, workers=0, warmup_min_steps=2,
+              max_targets=16, n_devices=2, merge_streams=3)
+    result = fit(FitConfig(name="m", epochs=1, **kw))
+    run_dir = Path(result["run_dir"])
+
+    ckpt = load_checkpoint(run_dir / "weights/last.ckpt")
+    params = ckpt["ema_tree"]["params"]
+    assert "m0" in params and "m9" in params and "m0_9" not in params, \
+        "merged-graph training must checkpoint the standard layout"
+
+    # the standard model serves the checkpoint directly
+    import jax
+    import jax.numpy as jnp
+    model = build_model(mc)
+    v = {"params": ckpt["ema_tree"]["params"],
+         "batch_stats": ckpt["ema_tree"]["batch_stats"]}
+    x = jnp.zeros((1, 96, 96, 3), jnp.float32)
+    pred, _, _ = jax.jit(
+        lambda v, a, b: model.apply(v, a, b, train=False, decode=True)
+    )(v, x, x)
+    assert np.isfinite(np.asarray(pred)).all()
+
+    # resume: re-merges the standard-layout checkpoint and continues
+    result2 = fit(FitConfig(name="m_resume", epochs=2,
+                            resume=str(run_dir / "weights/last.ckpt"), **kw))
+    rows = list(csv.DictReader(open(Path(result2["run_dir"]) / "results.csv")))
+    assert len(rows) == 1 and float(rows[0]["lobj"]) > 0
