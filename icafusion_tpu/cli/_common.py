@@ -42,8 +42,13 @@ def resolve_model_config(cfg: str, nc=None):
     return load_model_config(cfg, nc=nc)
 
 
-def load_model_for_inference(cfg, weights: str, nc=None, dtype=None):
-    """Build the model and load inference variables (EMA-preferred)."""
+def load_model_for_inference(cfg, weights: str, nc=None, dtype=None,
+                             merge: int = 0):
+    """Build the model and load inference variables (EMA-preferred).
+
+    merge=K stream-merges the first K RGB/IR layer pairs (block-diagonal
+    kernels, numerically identical outputs — utils/stream_merge.py) for MXU
+    lane recovery on the sub-128-channel stages."""
     import jax.numpy as jnp
 
     from icafusion_tpu.models import build_model
@@ -70,6 +75,10 @@ def load_model_for_inference(cfg, weights: str, nc=None, dtype=None):
                                           dict(variables), strict=False)
     else:
         variables = load_inference_variables(weights)
+    if merge:
+        from icafusion_tpu.utils.stream_merge import merge_stream_variables
+        variables = merge_stream_variables(mc, dict(variables), pairs=merge)
+        model = build_model(mc, dtype=dtype or jnp.float32, merge_pairs=merge)
     return mc, model, variables
 
 

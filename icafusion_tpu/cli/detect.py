@@ -52,6 +52,10 @@ def parse_args(argv=None):
     ap.add_argument("--line-thickness", type=int, default=None,
                     help="box line thickness px (default: auto from size)")
     ap.add_argument("--hide-labels", action="store_true")
+    ap.add_argument("--merge", type=int, default=0, metavar="K",
+                    help="stream-merge the first K RGB/IR layer pairs "
+                         "(block-diagonal kernels, identical outputs) — MXU "
+                         "lane recovery (utils/stream_merge.py)")
     ap.add_argument("--hide-conf", action="store_true")
     ap.add_argument("--names", nargs="*", default=None)
     ap.add_argument("--nosave", action="store_true")
@@ -231,7 +235,8 @@ def main(argv=None):
     from icafusion_tpu.eval.evaluator import scale_coords_np
     from icafusion_tpu.ops.nms import detections_to_numpy, non_max_suppression
 
-    mc, model, variables = load_model_for_inference(args.cfg, args.weights)
+    mc, model, variables = load_model_for_inference(args.cfg, args.weights,
+                                                    merge=args.merge)
 
     if _is_stream(args.source1):
         names = args.names or [str(i) for i in range(mc.nc)]

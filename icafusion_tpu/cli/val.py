@@ -52,6 +52,10 @@ def parse_args(argv=None):
                     help="serve with W8A8 post-training quantization, "
                          "calibrated on the first val batches — reports the "
                          "quantized model's metrics (utils/quantize.py)")
+    ap.add_argument("--merge", type=int, default=0, metavar="K",
+                    help="stream-merge the first K RGB/IR layer pairs "
+                         "(block-diagonal kernels, identical outputs) — MXU "
+                         "lane recovery (utils/stream_merge.py)")
     ap.add_argument("--coco-gt", default=None,
                     help="COCO annotations json: run the full AP/AR suite on "
                          "the saved detections (test.py:329-352; implies "
@@ -135,6 +139,7 @@ def main(argv=None):
 
     data_cfg = load_data_config(args.data)
     mc, model, variables = load_model_for_inference(args.cfg, args.weights,
+                                                     merge=args.merge,
                                                     nc=data_cfg.nc)
     root = Path(data_cfg.path)
     rgb = data_cfg.test_rgb if args.task == "test" else data_cfg.val_rgb
