@@ -279,7 +279,7 @@ class ICAFusionModel(nn.Module):
             for i in range(k):
                 r = resolved[i]
                 xm = MODULE_BUILDERS[r.module](
-                    merged_args(r.args), self.dtype,
+                    merged_args(r.module, r.args), self.dtype,
                     f"m{r.i}_{s + r.i}")(xm, train=train)
                 if r.i in save:
                     y[r.i] = xm[..., :r.c2]

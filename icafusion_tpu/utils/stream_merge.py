@@ -48,7 +48,10 @@ from typing import Tuple
 
 import numpy as np
 
-MERGEABLE = ("Conv", "C3")
+MERGEABLE = ("Conv", "C3", "VGGblock", "ResNetlayer")
+# where (c1, c2) sit in each mergeable module's resolved args
+_CH_ARGS = {"Conv": (0, 1), "C3": (0, 1), "VGGblock": (1, 2),
+            "ResNetlayer": (0, 1)}
 
 
 def ir_stream_start(resolved) -> int:
@@ -82,10 +85,11 @@ def validate_merge(resolved, pairs: int) -> int:
     return s
 
 
-def merged_args(args: Tuple) -> Tuple:
-    """Double the channel args (c1, c2 lead every mergeable module's args)."""
+def merged_args(module: str, args: Tuple) -> Tuple:
+    """Double the module's two channel args (position map in _CH_ARGS)."""
+    i, j = _CH_ARGS[module]
     a = list(args)
-    a[0], a[1] = 2 * a[0], 2 * a[1]
+    a[i], a[j] = 2 * a[i], 2 * a[j]
     return tuple(a)
 
 
@@ -109,24 +113,21 @@ def _merged_kernel(kA: np.ndarray, kB: np.ndarray,
     return k
 
 
-def _concat_tree(a, b):
-    """Concat matching BN-leaf trees on their (only) channel axis."""
-    if isinstance(a, dict):
-        return {k: _concat_tree(a[k], b[k]) for k in a}
-    return np.concatenate([np.asarray(a), np.asarray(b)], axis=0)
-
-
-def _merge_conv(a: dict, b: dict, rows_a=None, rows_b=None) -> dict:
-    """layers.Conv subtree: {'conv': {'kernel'}, 'bn': {...}} (params) or
-    {'bn': {...}} (batch_stats)."""
-    out = {}
-    if "conv" in a:
-        out["conv"] = {"kernel": _merged_kernel(
-            np.asarray(a["conv"]["kernel"]), np.asarray(b["conv"]["kernel"]),
-            rows_a, rows_b)}
-    if "bn" in a:
-        out["bn"] = _concat_tree(a["bn"], b["bn"])
-    return out
+def _merge_raw(a, b, rows_a=None, rows_b=None):
+    """Merge two matching per-stream subtrees leaf-by-leaf: 4-D conv kernels
+    become block scatters (HWIO), per-channel vectors (conv bias, BN
+    scale/bias/mean/var) concatenate. Correct for any module whose internal
+    dataflow never reorders channels across submodules — layers.Conv,
+    Bottleneck, VGGblock (plain conv+bias chains, common.py:109-128),
+    ResNetlayer/ResNetblock (residual adds are per-channel,
+    common.py:131-181). rows_a/rows_b override kernel input-row placement
+    (C3's cv3, whose input concat interleaves the streams)."""
+    if not isinstance(a, dict):
+        ta, tb = np.asarray(a), np.asarray(b)
+        if ta.ndim == 4:
+            return _merged_kernel(ta, tb, rows_a, rows_b)
+        return np.concatenate([ta, tb], axis=0)
+    return {k: _merge_raw(a[k], b[k], rows_a, rows_b) for k in a}
 
 
 def _merge_c3(a: dict, b: dict, c_: int) -> dict:
@@ -134,19 +135,9 @@ def _merge_c3(a: dict, b: dict, c_: int) -> dict:
 
     Merged branch outputs concat as [A1|B1|A2|B2] (each c_ wide) while each
     per-stream cv3 consumed [Ai|Aii]; scatter cv3's rows accordingly."""
-    out = {}
-    for k in a:
-        if k in ("cv1", "cv2") or k.startswith("m"):
-            if k.startswith("m"):  # Bottleneck: {'cv1': Conv, 'cv2': Conv}
-                out[k] = {kk: _merge_conv(a[k][kk], b[k][kk]) for kk in a[k]}
-            else:
-                out[k] = _merge_conv(a[k], b[k])
-        elif k == "cv3":
-            rows_a, rows_b = _c3_cv3_rows(c_)
-            out[k] = _merge_conv(a[k], b[k], rows_a, rows_b)
-        else:  # pragma: no cover - C3 has no other children
-            raise ValueError(f"unexpected C3 child {k!r}")
-    return out
+    return {k: _merge_raw(a[k], b[k], *(_c3_cv3_rows(c_) if k == "cv3"
+                                        else (None, None)))
+            for k in a}
 
 
 def _c3_cv3_rows(c_: int):
@@ -154,41 +145,29 @@ def _c3_cv3_rows(c_: int):
     return rows_a, rows_a + c_
 
 
-def _split_conv(m: dict, rows_a=None, rows_b=None) -> Tuple[dict, dict]:
-    """Inverse of _merge_conv: slice the two per-stream subtrees back out."""
-    a, b = {}, {}
-    if "conv" in m:
-        k = np.asarray(m["conv"]["kernel"])
-        co = k.shape[3] // 2
-        if rows_a is None:
-            ci = k.shape[2] // 2
-            rows_a, rows_b = np.arange(ci), ci + np.arange(ci)
-        a["conv"] = {"kernel": k[:, :, rows_a, :co]}
-        b["conv"] = {"kernel": k[:, :, rows_b, co:]}
-    if "bn" in m:
-        def split(t, half):
-            if isinstance(t, dict):
-                return {k2: split(v, half) for k2, v in t.items()}
-            t = np.asarray(t)
-            c = t.shape[0] // 2
-            return t[:c] if half == 0 else t[c:]
-        a["bn"] = split(m["bn"], 0)
-        b["bn"] = split(m["bn"], 1)
-    return a, b
+def _split_raw(m, rows_a=None, rows_b=None):
+    """Inverse of _merge_raw: slice the two per-stream subtrees back out."""
+    if not isinstance(m, dict):
+        t = np.asarray(m)
+        if t.ndim == 4:
+            co = t.shape[3] // 2
+            ra, rb = rows_a, rows_b
+            if ra is None:
+                ci = t.shape[2] // 2
+                ra, rb = np.arange(ci), ci + np.arange(ci)
+            return t[:, :, ra, :co], t[:, :, rb, co:]
+        c = t.shape[0] // 2
+        return t[:c], t[c:]
+    halves = {k: _split_raw(v, rows_a, rows_b) for k, v in m.items()}
+    return ({k: v[0] for k, v in halves.items()},
+            {k: v[1] for k, v in halves.items()})
 
 
 def _split_c3(m: dict, c_: int) -> Tuple[dict, dict]:
     a, b = {}, {}
     for k in m:
-        if k == "cv3":
-            rows_a, rows_b = _c3_cv3_rows(c_)
-            a[k], b[k] = _split_conv(m[k], rows_a, rows_b)
-        elif k.startswith("m") and k != "bn":
-            a[k], b[k] = {}, {}
-            for kk in m[k]:
-                a[k][kk], b[k][kk] = _split_conv(m[k][kk])
-        else:
-            a[k], b[k] = _split_conv(m[k])
+        a[k], b[k] = _split_raw(m[k], *(_c3_cv3_rows(c_) if k == "cv3"
+                                        else (None, None)))
     return a, b
 
 
@@ -210,10 +189,10 @@ def unmerge_stream_variables(cfg, variables: dict, pairs: int) -> dict:
             m = tree.pop(f"m{i}_{s+i}", None)
             if m is None:
                 continue
-            if r.module == "Conv":
-                a, b = _split_conv(m)
-            else:
+            if r.module == "C3":
                 a, b = _split_c3(m, c_=int(r.args[1] * 0.5))
+            else:
+                a, b = _split_raw(m)
             tree[f"m{i}"], tree[f"m{s+i}"] = a, b
         out[col] = tree
     return out
@@ -294,10 +273,11 @@ def merge_stream_variables(cfg, variables: dict, pairs: int) -> dict:
             b = tree.pop(f"m{s+i}", None)
             if a is None and b is None:
                 continue  # collection doesn't cover these layers
-            if r.module == "Conv":
-                merged = _merge_conv(a, b)
-            else:  # C3 — e fixed at the reference default 0.5 for shipped cfgs
+            if r.module == "C3":
+                # e fixed at the reference default 0.5 for shipped configs
                 merged = _merge_c3(a, b, c_=int(r.args[1] * 0.5))
+            else:
+                merged = _merge_raw(a, b)
             tree[f"m{i}_{s+i}"] = merged
         out[col] = tree
     return out

@@ -151,3 +151,44 @@ def test_capture_conflict(setup):
     # capture of an unmerged layer still works
     (_, cap) = mm.apply(mv, rgb, ir, train=False, decode=False, capture=(4,))
     assert 4 in cap
+
+
+@pytest.mark.parametrize("zoo_name", ["vgg16", "resnet50"])
+def test_alt_backbone_merge(zoo_name):
+    """VGGblock (plain conv+bias chains) and ResNetlayer (bottlenecks with
+    per-channel residuals) merge through the generic leaf-wise transform —
+    their early stages (3->64 stems, 64-ch blocks at full resolution) are the
+    most lane-starved in the whole model family."""
+    import jax.tree_util as tu
+
+    from icafusion_tpu.models.zoo import (resnet50_icafusion_config,
+                                          vgg16_icafusion_config)
+    from icafusion_tpu.utils.stream_merge import unmerge_stream_variables
+
+    cfg = (vgg16_icafusion_config(nc=3) if zoo_name == "vgg16"
+           else resnet50_icafusion_config(nc=3))
+    model = build_model(cfg)
+    rng = np.random.default_rng(0)
+    rgb = jnp.asarray(rng.uniform(0, 1, (1, 320, 320, 3)), jnp.float32)
+    ir = jnp.asarray(rng.uniform(0, 1, (1, 320, 320, 3)), jnp.float32)
+    v = model.init({"params": jax.random.PRNGKey(0)}, rgb, ir,
+                   train=False, decode=False)
+    v = {"params": v["params"], "batch_stats": v.get("batch_stats", {})}
+    ref = jax.jit(lambda v, a, b: model.apply(
+        v, a, b, train=False, decode=False))(v, rgb, ir)
+
+    mv = merge_stream_variables(cfg, v, pairs=2)
+    mm = build_model(cfg, merge_pairs=2)
+    got = jax.jit(lambda v, a, b: mm.apply(
+        v, a, b, train=False, decode=False))(mv, rgb, ir)
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
+
+    rt = unmerge_stream_variables(cfg, mv, pairs=2)
+    a = {tu.keystr(p): np.asarray(l) for p, l in
+         tu.tree_leaves_with_path(jax.device_get(v))}
+    b = {tu.keystr(p): np.asarray(l) for p, l in tu.tree_leaves_with_path(rt)}
+    assert a.keys() == b.keys()
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
