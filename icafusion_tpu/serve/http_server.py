@@ -79,6 +79,9 @@ def main(argv=None):
                     help="folder/glob of RGB images for int8 calibration")
     ap.add_argument("--calib-ir", default=None,
                     help="folder/glob of IR images for int8 calibration")
+    ap.add_argument("--merge", type=int, default=0, metavar="K",
+                    help="stream-merge the first K RGB/IR layer pairs "
+                         "(utils/stream_merge.py; identical outputs)")
     args = ap.parse_args(argv)
 
     from icafusion_tpu.cli._common import load_model_for_inference, setup_jax
@@ -89,7 +92,8 @@ def main(argv=None):
     mc, model, variables = load_model_for_inference(args.cfg, args.weights)
     NAMES = args.names
     ENGINE = ServingEngine(model=model, variables=variables,
-                           img_size=args.img_size, batch_size=args.batch_size)
+                           img_size=args.img_size, batch_size=args.batch_size,
+                           merge_streams=args.merge)
     if args.int8:
         import numpy as np
         S = args.img_size
