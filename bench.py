@@ -49,7 +49,7 @@ def main():
                     help="serve bf16 (no quantization)")
     ap.add_argument("--train", action="store_true",
                     help="benchmark the training step instead of serving")
-    ap.add_argument("--merge", type=int, default=None, metavar="K",
+    ap.add_argument("--merge", default=None, metavar="K",
                     help="stream-merge the first K RGB/IR layer pairs into "
                          "block-diagonal modules (utils/stream_merge.py; MXU "
                          "lane recovery on sub-128-ch stages). Default: 3 "
@@ -85,7 +85,8 @@ def main():
     print(f"init {time.time()-t0:.0f}s", file=sys.stderr)
 
     mode = "bf16"
-    merge = args.merge if args.merge is not None else 0
+    from icafusion_tpu.utils.stream_merge import resolve_merge
+    merge = resolve_merge(args.merge, cfg) if args.merge is not None else 0
     if merge:
         from icafusion_tpu.utils.stream_merge import merge_stream_variables
         variables = merge_stream_variables(cfg, jax.device_get(variables),
@@ -162,7 +163,8 @@ def bench_train(args):
     cfg = icafusion_config(args.scale, nc=3, fusion="tfb")
     model = build_model(cfg, dtype=dtype)
     hyp = load_hyp_config()
-    merge = args.merge if args.merge is not None else 0
+    from icafusion_tpu.utils.stream_merge import resolve_merge
+    merge = resolve_merge(args.merge, cfg) if args.merge is not None else 0
     tr = Trainer(model=model, hyp=hyp, epochs=60, steps_per_epoch=100,
                  batch_size=B, imgsz=args.imgsz)
     rng = jax.random.PRNGKey(0)

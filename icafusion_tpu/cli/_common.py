@@ -43,7 +43,7 @@ def resolve_model_config(cfg: str, nc=None):
 
 
 def load_model_for_inference(cfg, weights: str, nc=None, dtype=None,
-                             merge: int = 0):
+                             merge=0):
     """Build the model and load inference variables (EMA-preferred).
 
     merge=K stream-merges the first K RGB/IR layer pairs (block-diagonal
@@ -75,6 +75,8 @@ def load_model_for_inference(cfg, weights: str, nc=None, dtype=None,
                                           dict(variables), strict=False)
     else:
         variables = load_inference_variables(weights)
+    from icafusion_tpu.utils.stream_merge import resolve_merge
+    merge = resolve_merge(merge, mc)
     if merge:
         from icafusion_tpu.utils.stream_merge import merge_stream_variables
         variables = merge_stream_variables(mc, dict(variables), pairs=merge)

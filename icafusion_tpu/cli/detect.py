@@ -52,10 +52,11 @@ def parse_args(argv=None):
     ap.add_argument("--line-thickness", type=int, default=None,
                     help="box line thickness px (default: auto from size)")
     ap.add_argument("--hide-labels", action="store_true")
-    ap.add_argument("--merge", type=int, default=0, metavar="K",
+    ap.add_argument("--merge", default="0", metavar="K",
                     help="stream-merge the first K RGB/IR layer pairs "
                          "(block-diagonal kernels, identical outputs) — MXU "
-                         "lane recovery (utils/stream_merge.py)")
+                         "lane recovery (utils/stream_merge.py); 'auto' merges "
+                         "exactly the lane-starved prefix")
     ap.add_argument("--hide-conf", action="store_true")
     ap.add_argument("--names", nargs="*", default=None)
     ap.add_argument("--nosave", action="store_true")

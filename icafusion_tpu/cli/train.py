@@ -50,7 +50,7 @@ def parse_args(argv=None):
     ap.add_argument("--distributed", action="store_true",
                     help="multi-host SPMD: jax.distributed.initialize() + "
                          "process_index()==0 side-effect gating")
-    ap.add_argument("--merge-streams", type=int, default=0, metavar="K",
+    ap.add_argument("--merge-streams", default="0", metavar="K",
                     help="stream-merged training: run the first K RGB/IR "
                          "layer pairs block-diagonal with masked grads — "
                          "identical trajectory, full MXU lanes on sub-128-ch "
@@ -74,6 +74,7 @@ def main(argv=None):
     from icafusion_tpu.config import load_data_config, load_hyp_config
     from icafusion_tpu.train.fit import FitConfig, fit
     from icafusion_tpu.utils.general import check_img_size, init_seeds
+    from icafusion_tpu.utils.stream_merge import resolve_merge
 
     init_seeds(args.seed)
     data_cfg = load_data_config(args.data)
@@ -94,7 +95,7 @@ def main(argv=None):
             autoanchor=not args.noautoanchor,
             accum_steps=resolve_accum(args.accum, args.batch_size),
             distributed=args.distributed, adam=args.adam,
-            merge_streams=args.merge_streams)
+            merge_streams=resolve_merge(args.merge_streams, model_cfg))
 
     if args.evolve:
         # GA over the hyp space: each generation is a short fit() run scored

@@ -52,10 +52,11 @@ def parse_args(argv=None):
                     help="serve with W8A8 post-training quantization, "
                          "calibrated on the first val batches — reports the "
                          "quantized model's metrics (utils/quantize.py)")
-    ap.add_argument("--merge", type=int, default=0, metavar="K",
+    ap.add_argument("--merge", default="0", metavar="K",
                     help="stream-merge the first K RGB/IR layer pairs "
                          "(block-diagonal kernels, identical outputs) — MXU "
-                         "lane recovery (utils/stream_merge.py)")
+                         "lane recovery (utils/stream_merge.py); 'auto' merges "
+                         "exactly the lane-starved prefix")
     ap.add_argument("--coco-gt", default=None,
                     help="COCO annotations json: run the full AP/AR suite on "
                          "the saved detections (test.py:329-352; implies "

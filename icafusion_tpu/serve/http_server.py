@@ -79,9 +79,10 @@ def main(argv=None):
                     help="folder/glob of RGB images for int8 calibration")
     ap.add_argument("--calib-ir", default=None,
                     help="folder/glob of IR images for int8 calibration")
-    ap.add_argument("--merge", type=int, default=0, metavar="K",
+    ap.add_argument("--merge", default="0", metavar="K",
                     help="stream-merge the first K RGB/IR layer pairs "
-                         "(utils/stream_merge.py; identical outputs)")
+                         "(utils/stream_merge.py; identical outputs); 'auto' merges "
+                         "exactly the lane-starved prefix")
     args = ap.parse_args(argv)
 
     from icafusion_tpu.cli._common import load_model_for_inference, setup_jax
@@ -91,9 +92,10 @@ def main(argv=None):
     global ENGINE, NAMES
     mc, model, variables = load_model_for_inference(args.cfg, args.weights)
     NAMES = args.names
+    from icafusion_tpu.utils.stream_merge import resolve_merge
     ENGINE = ServingEngine(model=model, variables=variables,
                            img_size=args.img_size, batch_size=args.batch_size,
-                           merge_streams=args.merge)
+                           merge_streams=resolve_merge(args.merge, mc))
     if args.int8:
         import numpy as np
         S = args.img_size

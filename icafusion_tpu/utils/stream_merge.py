@@ -85,6 +85,52 @@ def validate_merge(resolved, pairs: int) -> int:
     return s
 
 
+def _min_internal_width(r) -> int:
+    """Narrowest channel dimension any conv inside the layer sees."""
+    if r.module == "C3":
+        return min(r.args[0], r.args[1], int(r.args[1] * 0.5))
+    if r.module == "VGGblock":
+        return min(r.args[1], r.args[2])
+    if r.module == "ResNetlayer":
+        return r.args[1] if r.args[3] else min(r.args[0], r.args[1])
+    return min(r.args[0], r.args[1])  # Conv
+
+
+def auto_merge_pairs(cfg, lane_width: int = 128) -> int:
+    """Largest prefix worth merging: consecutive mergeable layer pairs whose
+    narrowest internal conv is below the MXU lane width (those are the ones
+    XLA pads — merging wider stages doubles useful FLOPs for no recovery).
+    yolov5l/s/n -> 3 (stem, 64->128 down, C3(128) w/ 64-ch bottlenecks),
+    VGG16 -> 2, ResNet50 -> 2. Returns 0 for single-stream graphs."""
+    from icafusion_tpu.models.assembler import resolve_model
+
+    resolved, _ = resolve_model(cfg)
+    try:
+        s = ir_stream_start(resolved)
+    except ValueError:
+        return 0
+    k = 0
+    while k < s:
+        a, b = resolved[k], resolved[s + k]
+        if (a.module not in MERGEABLE
+                or (a.module, a.args, a.n) != (b.module, b.args, b.n)
+                or _min_internal_width(a) >= lane_width
+                or (a.module == "Conv" and len(a.args) > 5 and a.args[5] != 1)):
+            break
+        k += 1
+    # the layer after the merged block must chain on it (validate_merge)
+    while k and k < s and resolved[s + k].f != -1:
+        k -= 1
+    return k
+
+
+def resolve_merge(spec, cfg) -> int:
+    """CLI '--merge' value: an int, or 'auto' for auto_merge_pairs(cfg)."""
+    if str(spec).lower() == "auto":
+        return auto_merge_pairs(cfg)
+    return int(spec or 0)
+
+
 def merged_args(module: str, args: Tuple) -> Tuple:
     """Double the module's two channel args (position map in _CH_ARGS)."""
     i, j = _CH_ARGS[module]

@@ -192,3 +192,21 @@ def test_alt_backbone_merge(zoo_name):
     assert a.keys() == b.keys()
     for k in a:
         np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_auto_merge_pairs():
+    """'auto' merges exactly the lane-starved prefix: layers whose narrowest
+    internal conv is under the 128-lane MXU width."""
+    from icafusion_tpu.models.zoo import (icafusion_config,
+                                          resnet50_icafusion_config,
+                                          vgg16_icafusion_config)
+    from icafusion_tpu.utils.stream_merge import (auto_merge_pairs,
+                                                  resolve_merge)
+
+    lcfg = icafusion_config("l", nc=3)
+    assert auto_merge_pairs(lcfg) == 3          # stem, 64->128, C3(128)
+    assert auto_merge_pairs(vgg16_icafusion_config(nc=3)) == 2
+    assert auto_merge_pairs(resnet50_icafusion_config(nc=3)) == 2
+    assert resolve_merge("auto", lcfg) == 3
+    assert resolve_merge("2", lcfg) == 2
+    assert resolve_merge(0, lcfg) == 0
