@@ -52,8 +52,9 @@ def main():
     ap.add_argument("--merge", default=None, metavar="K",
                     help="stream-merge the first K RGB/IR layer pairs into "
                          "block-diagonal modules (utils/stream_merge.py; MXU "
-                         "lane recovery on sub-128-ch stages). Default: 3 "
-                         "for serving (measured win), 0 disables")
+                         "lane recovery on sub-128-ch stages); 'auto' merges "
+                         "the lane-starved prefix. Default: off until the "
+                         "on-chip win is measured (BENCH.md)")
     ap.add_argument("--input-dtype", default="f32", choices=["f32", "bf16"],
                     help="--train only: dtype of the device-resident image "
                          "batch (bf16 removes the in-step f32->bf16 "
@@ -177,17 +178,18 @@ def bench_train(args):
     if merge:
         # masked stream-merged training: step-for-step identical to the
         # separate-stream step (tests/test_stream_merge.py), 64-ch stages
-        # run on full MXU lanes in fwd + both grad convs
-        from icafusion_tpu.utils.stream_merge import (grad_mask,
-                                                      merge_stream_variables)
-        v0 = jax.device_get(tr.init_state(rng, rgb[:1], ir[:1]))
-        mv = merge_stream_variables(
-            cfg, {"params": v0.params, "batch_stats": v0.batch_stats}, merge)
-        mask = jax.tree.map(jnp.asarray, grad_mask(cfg, mv["params"], merge))
-        tr = Trainer(model=build_model(cfg, dtype=dtype, merge_pairs=merge),
-                     hyp=hyp, epochs=60, steps_per_epoch=100,
-                     batch_size=B, imgsz=args.imgsz)
-        state = tr.init_state(rng, rgb[:1], ir[:1], variables=mv)
+        # run on full MXU lanes in fwd + both grad convs. Weights are random
+        # here, so init the merged model DIRECTLY (dense random zero blocks
+        # cost the same FLOPs — one init compile instead of two); the sparse
+        # grad mask is derived from the merged param shapes alone.
+        import dataclasses as _dc
+
+        from icafusion_tpu.utils.stream_merge import grad_mask
+        tr = _dc.replace(tr, model=build_model(cfg, dtype=dtype,
+                                               merge_pairs=merge))
+        state = tr.init_state(rng, rgb[:1], ir[:1])
+        mask = jax.tree.map(jnp.asarray,
+                            grad_mask(cfg, jax.device_get(state.params), merge))
     else:
         state = tr.init_state(rng, rgb[:1], ir[:1])
     step = jax.jit(tr.make_train_step(grad_mask=mask), donate_argnums=(0,))

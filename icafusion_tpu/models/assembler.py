@@ -278,9 +278,13 @@ class ICAFusionModel(nn.Module):
             xm = jnp.concatenate([out, x2], axis=-1)
             for i in range(k):
                 r = resolved[i]
-                xm = MODULE_BUILDERS[r.module](
-                    merged_args(r.module, r.args), self.dtype,
-                    f"m{r.i}_{s + r.i}")(xm, train=train)
+                margs, mname = merged_args(r.module, r.args), f"m{r.i}_{s + r.i}"
+                if r.n > 1:  # repeated non-absorbing module, same as main loop
+                    mod = _Repeat(r.module, margs, r.n, dtype=self.dtype,
+                                  name=mname)
+                else:
+                    mod = MODULE_BUILDERS[r.module](margs, self.dtype, mname)
+                xm = mod(xm, train=train)
                 if r.i in save:
                     y[r.i] = xm[..., :r.c2]
                 if s + r.i in save:

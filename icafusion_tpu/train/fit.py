@@ -223,11 +223,8 @@ def fit(cfg: FitConfig) -> dict:
                                                       merge_train_state)
         state = merge_train_state(model_cfg, state, merge_k)
         model = build_model(model_cfg, dtype=dtype, merge_pairs=merge_k)
-        trainer = Trainer(model=model, hyp=cfg.hyp, epochs=cfg.epochs,
-                          steps_per_epoch=loader.steps_per_epoch,
-                          batch_size=cfg.batch_size, imgsz=cfg.imgsz,
-                          warmup_min_steps=cfg.warmup_min_steps,
-                          accum_steps=accum, adam=cfg.adam)
+        # re-runs __post_init__; every other Trainer knob stays in lockstep
+        trainer = dataclasses.replace(trainer, model=model)
         gmask = jax.tree.map(jnp.asarray,
                              grad_mask(model_cfg, state.params, merge_k))
         log(f"stream-merge: first {merge_k} RGB/IR layer pairs run block-"

@@ -107,9 +107,10 @@ class Trainer:
         picks a random size per batch; under XLA each size is its own compiled
         step, so callers pick from a small bucket set).
 
-        grad_mask: optional 0/1 pytree matching params, multiplied into the
-        gradient before the optimizer — used by the stream-merged training
-        graph to pin the block-diagonal zeros (utils/stream_merge.grad_mask)."""
+        grad_mask: optional sparse 0/1 mask ({top-level param name: subtree}),
+        multiplied into those gradient entries before the optimizer — used by
+        the stream-merged training graph to pin the block-diagonal zeros
+        (utils/stream_merge.grad_mask)."""
         model, loss_fn, optimizer = self.model, self.loss_fn, self.optimizer
         A = self.accum_steps
 
@@ -161,7 +162,10 @@ class Trainer:
                 items = items / A
 
             if grad_mask is not None:
-                grads = jax.tree.map(jnp.multiply, grads, grad_mask)
+                # sparse: only the stream-merged subtrees carry a mask
+                grads = dict(grads)
+                for name, m in grad_mask.items():
+                    grads[name] = jax.tree.map(jnp.multiply, grads[name], m)
             new_params, new_opt = optimizer.update(grads, state.opt, state.params)
             new_ema = ema_update(state.ema,
                                  {"params": new_params, "batch_stats": new_bs},

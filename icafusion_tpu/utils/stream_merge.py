@@ -80,6 +80,10 @@ def validate_merge(resolved, pairs: int) -> int:
                              f"{s+i} has from={b.f}")
         if a.module == "Conv" and len(a.args) > 5 and a.args[5] != 1:
             raise ValueError("grouped Conv cannot be stream-merged")
+        if a.module == "C3" and len(a.args) > 4:
+            raise ValueError(
+                "C3 with explicit g/e args cannot be stream-merged (the cv3 "
+                "row permutation assumes the default hidden width c2*0.5)")
     if pairs < s and resolved[s + pairs].f != -1:
         raise ValueError(f"layer {s+pairs} must chain on the previous layer")
     return s
@@ -100,8 +104,9 @@ def auto_merge_pairs(cfg, lane_width: int = 128) -> int:
     """Largest prefix worth merging: consecutive mergeable layer pairs whose
     narrowest internal conv is below the MXU lane width (those are the ones
     XLA pads — merging wider stages doubles useful FLOPs for no recovery).
-    yolov5l/s/n -> 3 (stem, 64->128 down, C3(128) w/ 64-ch bottlenecks),
-    VGG16 -> 2, ResNet50 -> 2. Returns 0 for single-stream graphs."""
+    yolov5l -> 3 (stem, 64->128 down, C3(128) w/ 64-ch bottlenecks); smaller
+    width multiples starve deeper: yolov5s -> 5, yolov5n -> 7; VGG16 -> 2,
+    ResNet50 -> 2. Returns 0 for single-stream graphs."""
     from icafusion_tpu.models.assembler import resolve_model
 
     resolved, _ = resolve_model(cfg)
@@ -282,15 +287,22 @@ def unmerge_train_state(cfg, state, pairs: int):
 
 
 def grad_mask(cfg, params: dict, pairs: int):
-    """0/1 pytree matching merged `params`: 1 on the block-diagonal support
-    of every merged kernel (and on all other leaves), 0 on the zero blocks.
-    Multiply gradients by this each step — zero blocks then stay exactly
-    zero through SGD/momentum/weight-decay/EMA, making merged training
-    step-for-step equivalent to separate-stream training."""
+    """Sparse 0/1 mask covering ONLY the merged m{i}_{s+i} subtrees of
+    `params`: 1 on the block-diagonal support of every merged kernel, 0 on
+    the zero blocks. Trainer.make_train_step multiplies just these top-level
+    gradient entries each step — zero blocks then stay exactly zero through
+    SGD/momentum/weight-decay/EMA, making merged training step-for-step
+    equivalent to separate-stream training (the other ~99% of the gradient
+    tree is untouched, so no full-model mask constant enters the program)."""
     import jax
 
+    from icafusion_tpu.models.assembler import resolve_model
+
+    resolved, _ = resolve_model(cfg)
+    s = validate_merge(resolved, pairs)
+    sub = {f"m{i}_{s+i}": params[f"m{i}_{s+i}"] for i in range(pairs)}
     ones = jax.tree.map(lambda x: np.ones(np.shape(x), np.float32),
-                        {"params": params})
+                        {"params": sub})
     split = unmerge_stream_variables(cfg, ones, pairs)
     return merge_stream_variables(cfg, split, pairs)["params"]
 

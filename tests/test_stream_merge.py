@@ -210,3 +210,54 @@ def test_auto_merge_pairs():
     assert resolve_merge("auto", lcfg) == 3
     assert resolve_merge("2", lcfg) == 2
     assert resolve_merge(0, lcfg) == 0
+
+
+def test_repeated_module_merge():
+    """A repeated mergeable row ([-1, 2, 'Conv', ...]) merges through the
+    same _Repeat wrapper as the main loop (regression: the merged prefix
+    used to build a flat module and crash on the {r0, r1} param subtree)."""
+    import dataclasses
+
+    from icafusion_tpu.models.assembler import resolve_model as _rm
+
+    cfg = tiny_icafusion_config(nc=3, fusion="tfb")
+    layers = list(cfg.layers)
+    for idx in (1, 10):  # layer 1 and its IR twin
+        layers[idx] = dataclasses.replace(layers[idx], n=2)
+    cfg2 = dataclasses.replace(cfg, layers=tuple(layers))
+    resolved, _ = _rm(cfg2)
+    assert resolved[1].n == 2 and resolved[10].n == 2
+
+    model = build_model(cfg2)
+    rng = np.random.default_rng(0)
+    # 128px: the extra stride-2 copy halves every map; keep P5 >= the 4x4 grid
+    rgb = jnp.asarray(rng.uniform(0, 1, (1, 128, 128, 3)), jnp.float32)
+    ir = jnp.asarray(rng.uniform(0, 1, (1, 128, 128, 3)), jnp.float32)
+    v = model.init({"params": jax.random.PRNGKey(0)}, rgb, ir,
+                   train=False, decode=False)
+    v = {"params": v["params"], "batch_stats": v["batch_stats"]}
+    ref = model.apply(v, rgb, ir, train=False, decode=False)
+
+    mv = merge_stream_variables(cfg2, v, pairs=3)
+    mm = build_model(cfg2, merge_pairs=3)
+    got = mm.apply(mv, rgb, ir, train=False, decode=False)
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_c3_nondefault_e_rejected():
+    """C3 with explicit g/e args must be rejected up front (the cv3 row
+    permutation assumes the default hidden width c2*0.5)."""
+    import dataclasses
+
+    from icafusion_tpu.models.assembler import resolve_model as _rm
+
+    cfg = tiny_icafusion_config(nc=3, fusion="tfb")
+    layers = list(cfg.layers)
+    for idx in (2, 11):
+        layers[idx] = dataclasses.replace(
+            layers[idx], args=layers[idx].args + (True, 1, 0.25))
+    cfg2 = dataclasses.replace(cfg, layers=tuple(layers))
+    with pytest.raises(ValueError, match="explicit g/e"):
+        validate_merge(_rm(cfg2)[0], 3)
