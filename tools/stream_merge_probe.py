@@ -85,6 +85,70 @@ def block_diag_kernel(w1, w2):
     return w
 
 
+def conv_i8(x8, w8, stride):
+    return jax.lax.conv_general_dilated(
+        x8, w8, (stride, stride), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+
+
+def probe_int8(name, b, h, ci, co, k, stride, iters):
+    """Same comparison on the W8A8 path (utils/quantize.py's conv shape):
+    int8 operands, int32 accumulation, f32 dequant epilogue."""
+    rng = np.random.default_rng(0)
+    x1 = jnp.asarray(rng.integers(-127, 128, (b, h, h, ci)), jnp.int8)
+    x2 = jnp.asarray(rng.integers(-127, 128, x1.shape), jnp.int8)
+    w1 = jnp.asarray(rng.integers(-127, 128, (k, k, ci, co)), jnp.int8)
+    w2 = jnp.asarray(rng.integers(-127, 128, w1.shape), jnp.int8)
+    xm = jnp.concatenate([x1, x2], axis=-1)
+    wm = jnp.zeros((k, k, 2 * ci, 2 * co), jnp.int8)
+    wm = wm.at[:, :, :ci, :co].set(w1).at[:, :, ci:, co:].set(w2)
+    s = jnp.float32(0.01)
+
+    @jax.jit
+    def two(x, a, wa, wb):
+        return ((conv_i8(x, wa, stride).astype(jnp.float32) * s).sum() +
+                (conv_i8(a, wb, stride).astype(jnp.float32) * s).sum())
+
+    @jax.jit
+    def merged(x, w):
+        return (conv_i8(x, w, stride).astype(jnp.float32) * s).sum()
+
+    def chain2(x, a, wa, wb, c):
+        # chain on the int8 inputs via a zero-valued int8 carry
+        z = jnp.clip(c, 0, 0).astype(jnp.int8)
+        return two(x + z, a, wa, wb)
+
+    def chain1(x, w, c):
+        z = jnp.clip(c, 0, 0).astype(jnp.int8)
+        return merged(x + z, w)
+
+    t_two = timeit_raw(lambda c: chain2(x1, x2, w1, w2, c), iters)
+    t_mrg = timeit_raw(lambda c: chain1(xm, wm, c), iters)
+    row = {"probe": f"{name}-int8", "shape": f"{k}x{k}/s{stride} {ci}->{co} @{h}",
+           "two_convs_ms": round(t_two, 3), "blockdiag_ms": round(t_mrg, 3),
+           "speedup_blockdiag": round(t_two / t_mrg, 2)}
+    print(json.dumps(row), flush=True)
+    return row
+
+
+def timeit_raw(fn, iters, warmup=3):
+    """Chained timing where fn(carry_scalar) -> scalar."""
+    carry = fn(jnp.float32(0))
+    float(carry)
+    for series in range(2):
+        for _ in range(warmup):
+            carry = fn(carry)
+        float(carry)
+        t0 = time.time()
+        carry = fn(jnp.float32(0))
+        for _ in range(iters - 1):
+            carry = fn(carry)
+        float(carry)
+        dt = (time.time() - t0) / iters * 1e3
+    return dt
+
+
 def probe(name, b, h, ci, co, k, stride, iters, dtype):
     key = jax.random.PRNGKey(0)
     x1 = jax.random.uniform(key, (b, h, h, ci), dtype)
@@ -149,6 +213,11 @@ def main():
         # control: a stage that is already lane-saturated — merge should NOT win
         probe("ctrl128", b, 80, 128, 128, 3, 1, args.iters, dt),
     ]
+    for nm, h, ci, co, k, st in [("stem", 640, 3, 64, 6, 2),
+                                 ("c3a", 160, 64, 64, 3, 1),
+                                 ("down1", 320, 64, 128, 3, 2),
+                                 ("ctrl128", 80, 128, 128, 3, 1)]:
+        probe_int8(nm, b, h, ci, co, k, st, args.iters)
     saved = sum(r["two_convs_ms"] - min(r["blockdiag_ms"], r["grouped_ms"])
                 for r in rows[:3])
     mult = {"stem": 1, "c3a": 3, "down1": 1}  # instances per stream pair
