@@ -15,7 +15,7 @@ chips (jax.sharding, XLA collectives).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence
+from typing import Any, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -38,11 +38,14 @@ class ServingEngine:
     max_det: int = 300
     n_devices: Optional[int] = None
     dtype: str = "bfloat16"
-    merge_streams: int = 0   # run the first k RGB/IR layer pairs as one
+    merge_streams: Any = 0   # run the first k RGB/IR layer pairs as one
     # block-diagonal module each — MXU lane recovery on the sub-128-channel
-    # stages (utils/stream_merge.py); numerically identical outputs
+    # stages (utils/stream_merge.py); numerically identical outputs.
+    # int, or "auto" for exactly the lane-starved prefix.
 
     def __post_init__(self):
+        from icafusion_tpu.utils.stream_merge import resolve_merge
+        self.merge_streams = resolve_merge(self.merge_streams, self.model.cfg)
         if self.merge_streams:
             from icafusion_tpu.models.assembler import build_model
             from icafusion_tpu.utils.stream_merge import merge_stream_variables
