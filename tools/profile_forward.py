@@ -112,6 +112,8 @@ def main():
     ap.add_argument("--no-trace", action="store_true")
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--trace-dir", default="/tmp/icaf_trace")
+    ap.add_argument("--merge", default=None, metavar="K",
+                    help="profile the stream-merged graph (int or 'auto')")
     args = ap.parse_args()
 
     from icafusion_tpu.models import build_model
@@ -128,6 +130,16 @@ def main():
     variables = jax.jit(model.init, static_argnames=("train", "decode"))(
         {"params": rng}, rgb[:1], ir[:1], train=False, decode=False)
 
+    if args.merge is not None:
+        from icafusion_tpu.utils.stream_merge import (merge_stream_variables,
+                                                      resolve_merge)
+        mk = resolve_merge(args.merge, cfg)
+        if mk:
+            variables = merge_stream_variables(cfg, jax.device_get(variables),
+                                               pairs=mk)
+            model = build_model(cfg, dtype=jnp.bfloat16, merge_pairs=mk)
+            print(f"profiling stream-merged graph (pairs={mk})")
+
     if args.train:
         from icafusion_tpu.config import load_hyp_config
         from icafusion_tpu.train.loss import pad_targets
@@ -136,7 +148,12 @@ def main():
         tr = Trainer(model=model, hyp=load_hyp_config(), epochs=60,
                      steps_per_epoch=100, batch_size=Bt, imgsz=args.imgsz)
         state = tr.init_state(rng, rgb[:1], ir[:1])
-        raw_step = tr.make_train_step()
+        mask = None
+        if getattr(model, "merge_pairs", 0):
+            from icafusion_tpu.utils.stream_merge import grad_mask
+            mask = jax.tree.map(jnp.asarray, grad_mask(
+                cfg, jax.device_get(state.params), model.merge_pairs))
+        raw_step = tr.make_train_step(grad_mask=mask)
         step = jax.jit(raw_step)
         t, m = pad_targets(
             [np.array([[0, .5, .5, .3, .3]], np.float32)] * Bt, 64)
