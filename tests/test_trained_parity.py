@@ -29,7 +29,8 @@ def trained_results(reference_dir):
         pytest.skip("trained checkpoint not in tree")
     from trained_parity import run
     return run(ckpt=str(CKPT), data_root=str(DATA), n=16, batch=4,
-               dtypes=("fp32",), merge_sweep=False, verbose=False)
+               dtypes=("fp32",), merge_sweep=False, stream_merge="auto",
+               verbose=False)
 
 
 @pytest.mark.slow
@@ -124,3 +125,17 @@ def test_rect_val_product_path(reference_dir):
     out = ev.run(variables, loader.rect_val_batches(), 320)
     assert out["seen"] == 8
     assert out["map50"] > 0.9, f"rect-val mAP50 {out['map50']:.4f}"
+
+
+@pytest.mark.slow
+def test_stream_merged_eval_identical(trained_results):
+    """The stream-merged graph reproduces the unmerged fp32 eval on real data
+    end-to-end: same mAP@50 and per-box agreement (the lane-recovery
+    transform is a pure execution-layout change)."""
+    merged = [v for k, v in trained_results["ours"].items()
+              if k.startswith("fp32+merge")]
+    assert merged, "stream-merge column missing from the parity run"
+    e = merged[0]
+    assert abs(e["map50_delta_vs_fp_ours"]) < 1e-4, e
+    a = e["agreement_conf0.01_vs_fp_ours"]
+    assert a["match_rate"] > 0.999 and a["mean_iou"] > 0.999, a

@@ -102,7 +102,7 @@ def build_torch_side(ckpt: str, cfg_path: str):
 def run(ckpt: str = CKPT_DEFAULT, data_root: str = DATA_DEFAULT,
         cfg_path: str = CFG_DEFAULT, imgsz: int = 320, n: int = 0,
         batch: int = 8, top_k: int = 8192, dtypes=("fp32", "bf16", "int8"),
-        merge_sweep: bool = True, verbose: bool = True):
+        merge_sweep: bool = True, stream_merge=0, verbose: bool = True):
     import jax
     import jax.numpy as jnp
 
@@ -184,6 +184,35 @@ def run(ckpt: str = CKPT_DEFAULT, data_root: str = DATA_DEFAULT,
             f"delta={entry['map50_delta_vs_torch'] * 100:+.3f} pts "
             f"match@0.01={a['match_rate']:.4f} meanIoU={a['mean_iou']:.4f}")
 
+    if stream_merge:
+        # stream-merged graph (utils/stream_merge.py): must reproduce the
+        # unmerged fp32 eval exactly — certifies the lane-recovery transform
+        # on real data through the full eval pipeline
+        from icafusion_tpu.utils.stream_merge import (merge_stream_variables,
+                                                      resolve_merge)
+        mk = resolve_merge(stream_merge, cfg)
+        if mk:
+            model = build_model(cfg, dtype=jnp.float32, merge_pairs=mk)
+            mv = merge_stream_variables(cfg, dict(variables), pairs=mk)
+            dets = filter_degenerate(
+                jax_detect(mv, model, pairs, imgsz, top_k=top_k, batch=batch))
+            scored = score_reference(dets, gts)
+            entry = {"merge_pairs": mk, "ref_scored": scored,
+                     "map50_delta_vs_torch": scored["map50"]
+                     - ref_scored["map50"]}
+            if fp_dets is not None:
+                entry["map50_delta_vs_fp_ours"] = (
+                    scored["map50"]
+                    - results["ours"]["fp32"]["ref_scored"]["map50"])
+                entry["agreement_conf0.01_vs_fp_ours"] = box_agreement(
+                    fp_dets, dets, conf_cut=0.01)
+                am = entry["agreement_conf0.01_vs_fp_ours"]
+                log(f"ours fp32+merge{mk}: mAP50={scored['map50']:.5f} "
+                    f"delta_vs_fp_ours="
+                    f"{entry['map50_delta_vs_fp_ours'] * 100:+.4f} pts "
+                    f"match@0.01={am['match_rate']:.4f}")
+            results["ours"][f"fp32+merge{mk}"] = entry
+
     if merge_sweep:
         log("merge-NMS sweep on trained weights (conf 0.1)...")
         model = build_model(cfg, dtype=jnp.float32)
@@ -214,6 +243,9 @@ def main():
     ap.add_argument("--n", type=int, default=0, help="limit val images (0=all)")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--dtypes", default="fp32,bf16,int8")
+    ap.add_argument("--stream-merge", default="auto",
+                    help="also score the stream-merged fp32 graph "
+                         "(int, 'auto', or 0 to skip)")
     ap.add_argument("--no-merge", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     ap.add_argument("--write-json", default="TRAINED_PARITY.json")
@@ -228,7 +260,7 @@ def main():
     r = run(ckpt=args.ckpt, data_root=args.data, cfg_path=args.cfg,
             imgsz=args.imgsz, n=args.n, batch=args.batch,
             dtypes=tuple(args.dtypes.split(",")),
-            merge_sweep=not args.no_merge)
+            merge_sweep=not args.no_merge, stream_merge=args.stream_merge)
     if args.write_json:
         Path(args.write_json).write_text(json.dumps(r, indent=2, default=float))
         print(f"wrote {args.write_json}")
