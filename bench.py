@@ -95,10 +95,15 @@ def main():
         model = build_model(cfg, dtype=dtype, merge_pairs=merge)
         mode += f"+merge{merge}"
     if args.int8:
-        from icafusion_tpu.utils.quantize import calibrate, quantize_variables
+        from icafusion_tpu.utils.quantize import (calibrate,
+                                                  detect_feeder_skip,
+                                                  quantize_variables)
         t0 = time.time()
         calib = calibrate(model, variables, [(rgb[:4], ir[:4])])
-        variables = quantize_variables(variables, calib)
+        # production default: Detect-feeder convs stay fp (+0.4 pts mAP@50
+        # on the trained instrument, three 1x1 convs of bf16 — ACCURACY.md)
+        variables = quantize_variables(variables, calib,
+                                       skip=detect_feeder_skip(cfg))
         print(f"int8 calibration+quantize {time.time()-t0:.0f}s",
               file=sys.stderr)
         mode = "int8-W8A8" + (f"+merge{merge}" if merge else "")

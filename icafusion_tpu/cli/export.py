@@ -199,6 +199,7 @@ def main(argv=None):
 
         if args.int8:
             from icafusion_tpu.utils.quantize import (calibrate,
+                                                      detect_feeder_skip,
                                                       quantize_variables)
             if args.calib_source1 and args.calib_source2:
                 import cv2
@@ -228,7 +229,8 @@ def main(argv=None):
                       "scales calibrated on RANDOM inputs (structure-valid "
                       "artifact; recalibrate on real pairs for deployment)")
             qvars = quantize_variables(dict(variables),
-                                       calibrate(model, variables, batches))
+                                       calibrate(model, variables, batches),
+                                       skip=detect_feeder_skip(mc))
             blob8 = export_onnx(mc, jax.tree.map(np.asarray, qvars),
                                 batch=B, imgsz=S, nms=nms_opts)
             o8 = Path(str(stem) + ".int8.onnx")

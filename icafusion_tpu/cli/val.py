@@ -72,7 +72,9 @@ def _quantize_from_dir(args, data_cfg, model, variables, rgb_dir, ir_dir):
     from icafusion_tpu.config import load_hyp_config
     from icafusion_tpu.data.datasets import PairedDetectionDataset
     from icafusion_tpu.data.loader import PairedLoader
-    from icafusion_tpu.utils.quantize import calibrate, quantize_variables
+    from icafusion_tpu.utils.quantize import (calibrate,
+                                              detect_feeder_skip,
+                                              quantize_variables)
 
     ds = PairedDetectionDataset(rgb_dir, ir_dir, img_size=args.img_size,
                                 hyp=load_hyp_config(), augment=False,
@@ -85,8 +87,12 @@ def _quantize_from_dir(args, data_cfg, model, variables, rgb_dir, ir_dir):
         if len(calib_batches) >= 2:
             break
     print(f"int8: calibrated on {len(calib_batches)} batches")
+    skip = detect_feeder_skip(model.cfg)
+    print(f"int8: Detect-feeder convs kept in fp ({', '.join(skip)}) — "
+          "measured +0.4 pts mAP@50 vs quantizing them (ACCURACY.md)")
     return quantize_variables(variables,
-                              calibrate(model, variables, calib_batches))
+                              calibrate(model, variables, calib_batches),
+                              skip=skip)
 
 
 def run_study(args, data_cfg, model, variables, rgb_dir: str, ir_dir: str):

@@ -81,12 +81,16 @@ class ServingEngine:
         """Switch to int8 W8A8 serving (utils/quantize.py; ~1.2x throughput on
         v5e — BENCH.md). calib_pairs: (rgb, ir) uint8/float letterboxed batches
         representative of production traffic."""
-        from icafusion_tpu.utils.quantize import calibrate, quantize_variables
+        from icafusion_tpu.utils.quantize import (calibrate,
+                                                  detect_feeder_skip,
+                                                  quantize_variables)
         batches = [(jnp.asarray(r, jnp.float32) / 255.0,
                     jnp.asarray(i, jnp.float32) / 255.0)
                    for r, i in calib_pairs]
-        qvars = quantize_variables(jax.device_get(self.variables),
-                                   calibrate(self.model, self.variables, batches))
+        qvars = quantize_variables(
+            jax.device_get(self.variables),
+            calibrate(self.model, self.variables, batches),
+            skip=detect_feeder_skip(self.model.cfg))
         repl = NamedSharding(self.mesh, P())
         self.variables = jax.device_put(qvars, repl)
 

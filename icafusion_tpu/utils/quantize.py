@@ -54,10 +54,46 @@ def calibrate(model, variables, batches: Iterable[Tuple]) -> dict:
     return acc
 
 
+def _mse_scales(w2d: np.ndarray, absmax: np.ndarray, min_scale: float,
+                ratios=np.linspace(0.5, 1.0, 21)) -> np.ndarray:
+    """Per-out-channel MSE-optimal symmetric clip: search scale = r*absmax/127
+    over r and keep the one minimizing the int8 reconstruction error. Clipping
+    a few outlier weights buys finer resolution for the bulk (ACIQ-style);
+    pure host-side post-processing, no graph change."""
+    best_s = np.maximum(absmax / 127.0, min_scale)
+    best_err = np.full(w2d.shape[1], np.inf)
+    for r in ratios:
+        s = np.maximum(absmax * r / 127.0, min_scale)
+        q = np.clip(np.round(w2d / s), -127, 127) * s
+        err = ((q - w2d) ** 2).sum(axis=0)
+        better = err < best_err
+        best_s = np.where(better, s, best_s)
+        best_err = np.minimum(err, best_err)
+    return best_s
+
+
+def detect_feeder_skip(cfg) -> Tuple[str, ...]:
+    """Skip-list for the convs feeding Detect — the quantization-sensitive
+    tail. Measured on the trained instrument (ACCURACY.md): quantizing
+    everything costs -0.364 pts mAP@50; skipping just the FINAL conv of each
+    Detect-feeding block (three 1x1 convs kept in bf16/f32) recovers it to
+    +0.013. For C3-family feeders that's the cv3 child; other module types
+    skip the whole block."""
+    from icafusion_tpu.models.assembler import detect_layer, resolve_model
+    resolved, _ = resolve_model(cfg)
+    by_i = {r.i: r for r in resolved}
+    out = []
+    for i in detect_layer(cfg).f:
+        mod = by_i[i].module
+        out.append(f"m{i}/cv3" if mod in ("C3", "C3TR") else f"m{i}")
+    return tuple(out)
+
+
 def quantize_variables(variables: dict, calib: dict,
                        min_scale: float = 1e-8,
                        min_ch: int = 0,
-                       skip: Tuple[str, ...] = ()) -> dict:
+                       skip: Tuple[str, ...] = (),
+                       weight_clip: str = "absmax") -> dict:
     """Build the 'quant' collection from params + calibration absmaxes.
 
     For every module path that has both a calibrated 'absmax' (sown by Conv)
@@ -73,16 +109,24 @@ def quantize_variables(variables: dict, calib: dict,
     than the early-map epilogues save; BENCH.md). Kept as a knob for other
     model shapes.
 
-    skip: module-path prefixes (top-level layer names like 'm0') to leave in
-    full precision — e.g. the stem stages whose giant activation maps make
-    the quantize epilogues expensive."""
+    skip: module-path prefixes ('m0', or nested like 'm30/cv3') to leave in
+    full precision. Measured use (ACCURACY.md): skipping the three
+    Detect-adjacent blocks turns the trained yolov5n int8 cost from
+    -0.364 pts into +0.040 — the head carries nearly all the quantization
+    sensitivity; cli/val.py --int8 applies the Detect-feeder skip by
+    default via detect_feeder_skip().
+
+    weight_clip: 'absmax' (default) or 'mse' — per-out-channel MSE-optimal
+    clip search over scale = r*absmax/127 (r in [0.5, 1]); measured effect in
+    ACCURACY.md's int8 row."""
     params = jax.tree.map(np.asarray, variables["params"])
     skip = (skip,) if isinstance(skip, str) else tuple(skip)
 
     def walk(p_node, c_node, path=()):
         if not isinstance(p_node, dict) or not isinstance(c_node, dict):
             return None
-        if path and path[0] in skip:
+        if path and any("/".join(path) == s or "/".join(path).startswith(s + "/")
+                        or s == path[0] for s in skip):
             return None
         out = {}
         for key, child in c_node.items():
@@ -107,8 +151,12 @@ def quantize_variables(variables: dict, calib: dict,
                 s_in = np.float32(max(float(absmax.max()) / 127.0, min_scale))
             w_eff = w * np.reshape(s_in, (1, 1, -1, 1)) if np.ndim(s_in) \
                 else w * s_in
-            s_w = np.maximum(np.abs(w_eff).max(axis=(0, 1, 2)) / 127.0,
-                             min_scale)
+            absmax_w = np.abs(w_eff).max(axis=(0, 1, 2))
+            if weight_clip == "mse":
+                s_w = _mse_scales(w_eff.reshape(-1, w_eff.shape[3]),
+                                  absmax_w, min_scale)
+            else:
+                s_w = np.maximum(absmax_w / 127.0, min_scale)
             w8 = np.clip(np.round(w_eff / s_w), -127, 127).astype(np.int8)
             out["w8"] = w8
             out["s_w"] = s_w.astype(np.float32)

@@ -24,4 +24,7 @@ run serve_int8        python bench.py --merge 0
 run serve_int8_merge  python bench.py --merge 3
 run train             python bench.py --train --merge 0
 run train_merge       python bench.py --train --merge 3
+# int8 accuracy on the TPU backend with the round-3 product default
+# (Detect-feeder convs fp) — refreshes ACCURACY.md's TPU int8 row
+run parity_int8_tpu   python tools/trained_parity.py --dtypes fp32,int8 --no-merge
 echo "done -> $LOG/summary.txt"

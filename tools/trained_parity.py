@@ -102,7 +102,9 @@ def build_torch_side(ckpt: str, cfg_path: str):
 def run(ckpt: str = CKPT_DEFAULT, data_root: str = DATA_DEFAULT,
         cfg_path: str = CFG_DEFAULT, imgsz: int = 320, n: int = 0,
         batch: int = 8, top_k: int = 8192, dtypes=("fp32", "bf16", "int8"),
-        merge_sweep: bool = True, stream_merge=0, verbose: bool = True):
+        merge_sweep: bool = True, stream_merge=0,
+        int8_weight_clip: str = "absmax", int8_skip="detect",
+        verbose: bool = True):
     import jax
     import jax.numpy as jnp
 
@@ -156,8 +158,14 @@ def run(ckpt: str = CKPT_DEFAULT, data_root: str = DATA_DEFAULT,
                                  for j in range(i, min(i + 4, len(pairs)))])
                 calib.append((jnp.asarray(rgb_b, jnp.float32) / 255.0,
                               jnp.asarray(ir_b, jnp.float32) / 255.0))
-            use_vars = quantize_variables(variables,
-                                          calibrate(model, variables, calib))
+            if int8_skip == "detect":
+                # the product default (cli/val, ServingEngine, bench):
+                # Detect-feeder convs stay fp — utils/quantize.py
+                from icafusion_tpu.utils.quantize import detect_feeder_skip
+                int8_skip = detect_feeder_skip(cfg)
+            use_vars = quantize_variables(
+                variables, calibrate(model, variables, calib),
+                weight_clip=int8_weight_clip, skip=tuple(int8_skip))
         else:
             model = build_model(cfg, dtype=jnp.bfloat16 if tag == "bf16"
                                 else jnp.float32)
@@ -243,6 +251,8 @@ def main():
     ap.add_argument("--n", type=int, default=0, help="limit val images (0=all)")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--dtypes", default="fp32,bf16,int8")
+    ap.add_argument("--int8-weight-clip", default="absmax",
+                    choices=["absmax", "mse"])
     ap.add_argument("--stream-merge", default="auto",
                     help="also score the stream-merged fp32 graph "
                          "(int, 'auto', or 0 to skip)")
@@ -260,7 +270,8 @@ def main():
     r = run(ckpt=args.ckpt, data_root=args.data, cfg_path=args.cfg,
             imgsz=args.imgsz, n=args.n, batch=args.batch,
             dtypes=tuple(args.dtypes.split(",")),
-            merge_sweep=not args.no_merge, stream_merge=args.stream_merge)
+            merge_sweep=not args.no_merge, stream_merge=args.stream_merge,
+            int8_weight_clip=args.int8_weight_clip)
     if args.write_json:
         Path(args.write_json).write_text(json.dumps(r, indent=2, default=float))
         print(f"wrote {args.write_json}")
