@@ -102,8 +102,11 @@ def main():
                               jnp.asarray(b["ir"], jnp.float32) / 255.0))
         if len(calib_batches) >= 2:
             break
+    from icafusion_tpu.utils.quantize import detect_feeder_skip
+    skip = detect_feeder_skip(mc)  # product default (ACCURACY.md round 3)
     qvars = quantize_variables(variables,
-                               calibrate(model, variables, calib_batches))
+                               calibrate(model, variables, calib_batches),
+                               skip=skip)
     q = evaluate(model, qvars, loader, 3, args.imgsz)
     print(f"int8 : mAP50={q['map50']:.4f} mAP={q['map']:.4f} "
           f"P={q['mp']:.4f} R={q['mr']:.4f}")
@@ -114,7 +117,7 @@ def main():
            "int8": {k: float(q[k]) for k in ("map50", "map", "mp", "mr")},
            "delta_map50_pts": float(delta50), "delta_map_pts": float(delta),
            "imgsz": args.imgsz, "epochs": args.epochs,
-           "backend": jax.default_backend()}
+           "int8_skip": list(skip), "backend": jax.default_backend()}
     (work / "int8_accuracy.json").write_text(json.dumps(out, indent=2))
     print(f"wrote {work / 'int8_accuracy.json'}")
 

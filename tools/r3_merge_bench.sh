@@ -27,4 +27,6 @@ run train_merge       python bench.py --train --merge 3
 # int8 accuracy on the TPU backend with the round-3 product default
 # (Detect-feeder convs fp) — refreshes ACCURACY.md's TPU int8 row
 run parity_int8_tpu   python tools/trained_parity.py --dtypes fp32,int8 --no-merge
+# refresh INT8_ACCURACY.json (tiny trained detector) under the same default
+run int8_acc_refresh  python tools/int8_accuracy.py --skip-train
 echo "done -> $LOG/summary.txt"
