@@ -43,8 +43,9 @@ def main():
     ap.add_argument("--int8", dest="int8", action="store_true", default=True,
                     help="serve with W8A8 post-training quantization "
                          "(default; utils/quantize.py — measured 1.23x "
-                         "end-to-end, trained-detector accuracy cost "
-                         "+0.001 pts mAP@50, INT8_ACCURACY.json)")
+                         "end-to-end; Detect-feeder convs stay fp, trained-"
+                         "detector accuracy cost +0.013 pts mAP@50, "
+                         "ACCURACY.md)")
     ap.add_argument("--bf16", dest="int8", action="store_false",
                     help="serve bf16 (no quantization)")
     ap.add_argument("--train", action="store_true",
