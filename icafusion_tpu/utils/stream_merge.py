@@ -48,10 +48,10 @@ from typing import Tuple
 
 import numpy as np
 
-MERGEABLE = ("Conv", "C3", "VGGblock", "ResNetlayer")
+MERGEABLE = ("Conv", "C3", "VGGblock", "ResNetlayer", "SPPF", "SPP")
 # where (c1, c2) sit in each mergeable module's resolved args
 _CH_ARGS = {"Conv": (0, 1), "C3": (0, 1), "VGGblock": (1, 2),
-            "ResNetlayer": (0, 1)}
+            "ResNetlayer": (0, 1), "SPPF": (0, 1), "SPP": (0, 1)}
 
 
 def ir_stream_start(resolved) -> int:
@@ -93,6 +93,8 @@ def _min_internal_width(r) -> int:
     """Narrowest channel dimension any conv inside the layer sees."""
     if r.module == "C3":
         return min(r.args[0], r.args[1], int(r.args[1] * 0.5))
+    if r.module in ("SPPF", "SPP"):
+        return min(r.args[0] // 2, r.args[1])
     if r.module == "VGGblock":
         return min(r.args[1], r.args[2])
     if r.module == "ResNetlayer":
@@ -181,19 +183,30 @@ def _merge_raw(a, b, rows_a=None, rows_b=None):
     return {k: _merge_raw(a[k], b[k], rows_a, rows_b) for k in a}
 
 
-def _merge_c3(a: dict, b: dict, c_: int) -> dict:
-    """layers.C3 subtree. c_ = the PER-STREAM hidden width (c2*e).
+def _interleave_rows(c_: int, n_seg: int):
+    """Merged-row placement for the conv AFTER an internal concat of n_seg
+    per-stream segments (each c_ wide): the merged concat interleaves the
+    streams as [A0|B0|A1|B1|...], so stream A's kernel rows land at segment
+    offsets 2k*c_ and B's at 2k*c_ + c_."""
+    rows_a = np.concatenate([np.arange(c_) + 2 * k * c_ for k in range(n_seg)])
+    return rows_a, rows_a + c_
 
-    Merged branch outputs concat as [A1|B1|A2|B2] (each c_ wide) while each
-    per-stream cv3 consumed [Ai|Aii]; scatter cv3's rows accordingly."""
-    return {k: _merge_raw(a[k], b[k], *(_c3_cv3_rows(c_) if k == "cv3"
+
+def _merge_c3(a: dict, b: dict, c_: int) -> dict:
+    """layers.C3 subtree. c_ = the PER-STREAM hidden width (c2*e): cv3
+    consumes the 2-segment concat [m-branch | cv2-branch]."""
+    return {k: _merge_raw(a[k], b[k], *(_interleave_rows(c_, 2) if k == "cv3"
                                         else (None, None)))
             for k in a}
 
 
-def _c3_cv3_rows(c_: int):
-    rows_a = np.concatenate([np.arange(c_), 2 * c_ + np.arange(c_)])
-    return rows_a, rows_a + c_
+def _merge_spp(a: dict, b: dict, c_: int, n_seg: int) -> dict:
+    """layers.SPPF/SPP subtree: cv2 consumes the n_seg-segment pool concat
+    (c_ = per-stream c1//2)."""
+    return {k: _merge_raw(a[k], b[k],
+                          *(_interleave_rows(c_, n_seg) if k == "cv2"
+                            else (None, None)))
+            for k in a}
 
 
 def _split_raw(m, rows_a=None, rows_b=None):
@@ -217,9 +230,24 @@ def _split_raw(m, rows_a=None, rows_b=None):
 def _split_c3(m: dict, c_: int) -> Tuple[dict, dict]:
     a, b = {}, {}
     for k in m:
-        a[k], b[k] = _split_raw(m[k], *(_c3_cv3_rows(c_) if k == "cv3"
+        a[k], b[k] = _split_raw(m[k], *(_interleave_rows(c_, 2) if k == "cv3"
                                         else (None, None)))
     return a, b
+
+
+def _split_spp(m: dict, c_: int, n_seg: int) -> Tuple[dict, dict]:
+    a, b = {}, {}
+    for k in m:
+        a[k], b[k] = _split_raw(m[k], *(_interleave_rows(c_, n_seg)
+                                        if k == "cv2" else (None, None)))
+    return a, b
+
+
+def _spp_segments(r) -> int:
+    if r.module == "SPPF":
+        return 4
+    ks = r.args[2] if len(r.args) > 2 else (5, 9, 13)
+    return len(ks) + 1
 
 
 def unmerge_stream_variables(cfg, variables: dict, pairs: int) -> dict:
@@ -242,6 +270,8 @@ def unmerge_stream_variables(cfg, variables: dict, pairs: int) -> dict:
                 continue
             if r.module == "C3":
                 a, b = _split_c3(m, c_=int(r.args[1] * 0.5))
+            elif r.module in ("SPPF", "SPP"):
+                a, b = _split_spp(m, r.args[0] // 2, _spp_segments(r))
             else:
                 a, b = _split_raw(m)
             tree[f"m{i}"], tree[f"m{s+i}"] = a, b
@@ -334,6 +364,8 @@ def merge_stream_variables(cfg, variables: dict, pairs: int) -> dict:
             if r.module == "C3":
                 # e fixed at the reference default 0.5 for shipped configs
                 merged = _merge_c3(a, b, c_=int(r.args[1] * 0.5))
+            elif r.module in ("SPPF", "SPP"):
+                merged = _merge_spp(a, b, r.args[0] // 2, _spp_segments(r))
             else:
                 merged = _merge_raw(a, b)
             tree[f"m{i}_{s+i}"] = merged

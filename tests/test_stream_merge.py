@@ -65,8 +65,13 @@ def test_validation(setup):
     resolved, _ = resolve_model(cfg)
     with pytest.raises(ValueError, match="merge_pairs must be in"):
         validate_merge(resolved, 99)
+    from icafusion_tpu.models.assembler import ResolvedLayer
+    fake = (ResolvedLayer(i=0, f=-1, n=1, module="Focus", args=(3, 16, 1),
+                          c2=16),
+            ResolvedLayer(i=1, f=-4, n=1, module="Focus", args=(3, 16, 1),
+                          c2=16))
     with pytest.raises(ValueError, match="not stream-mergeable"):
-        validate_merge(resolved, 9)  # layer 8 is SPPF
+        validate_merge(fake, 1)
     with pytest.raises(ValueError, match="no layer takes the -4 input"):
         from icafusion_tpu.utils.stream_merge import ir_stream_start
         ir_stream_start(resolved[:8])  # RGB tower only
@@ -261,3 +266,26 @@ def test_c3_nondefault_e_rejected():
     cfg2 = dataclasses.replace(cfg, layers=tuple(layers))
     with pytest.raises(ValueError, match="explicit g/e"):
         validate_merge(_rm(cfg2)[0], 3)
+
+
+def test_full_stream_merge_with_sppf(setup):
+    """pairs=9 merges the ENTIRE tiny backbone — both towers run as one
+    block-diagonal chain, including SPPF (whose cv2 consumes a 4-segment
+    interleaved pool concat) — and unmerges bit-exactly."""
+    import jax.tree_util as tu
+
+    from icafusion_tpu.utils.stream_merge import unmerge_stream_variables
+
+    cfg, model, v, rgb, ir = setup
+    ref, _, _ = model.apply(v, rgb, ir, train=False, decode=True)
+    mv = merge_stream_variables(cfg, v, pairs=9)
+    mm = build_model(cfg, merge_pairs=9)
+    got, _, _ = mm.apply(mv, rgb, ir, train=False, decode=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    rt = unmerge_stream_variables(cfg, mv, pairs=9)
+    a = {tu.keystr(p): np.asarray(l) for p, l in
+         tu.tree_leaves_with_path(jax.device_get(v))}
+    b = {tu.keystr(p): np.asarray(l) for p, l in tu.tree_leaves_with_path(rt)}
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
