@@ -93,11 +93,12 @@ def test_unmerge_roundtrip(setup):
         np.testing.assert_array_equal(a[k], b[k], err_msg=k)
 
 
-def test_train_equivalence(setup):
+@pytest.mark.parametrize("pairs", [3, 9])
+def test_train_equivalence(setup, pairs):
     """Masked merged training == separate-stream training step-for-step
     (same losses up to float summation order), and the block-diagonal zeros
     stay EXACTLY zero — so the merged graph trains the reference model, just
-    on full MXU lanes."""
+    on full MXU lanes. pairs=9 covers the SPPF-containing full backbone."""
     import jax.tree_util as tu
 
     from icafusion_tpu.config import load_hyp_config
@@ -118,9 +119,9 @@ def test_train_equivalence(setup):
     st = tr.init_state(jax.random.PRNGKey(0), rgb[:1], ir[:1],
                        variables=jax.device_get(v0))
 
-    mv = merge_stream_variables(cfg, v0, pairs=3)
-    mask = grad_mask(cfg, mv["params"], pairs=3)
-    mtr = Trainer(model=build_model(cfg, merge_pairs=3), **kw)
+    mv = merge_stream_variables(cfg, v0, pairs=pairs)
+    mask = grad_mask(cfg, mv["params"], pairs=pairs)
+    mtr = Trainer(model=build_model(cfg, merge_pairs=pairs), **kw)
     mst = mtr.init_state(jax.random.PRNGKey(0), rgb[:1], ir[:1], variables=mv)
 
     step = jax.jit(tr.make_train_step())
@@ -137,7 +138,7 @@ def test_train_equivalence(setup):
 
     um = unmerge_stream_variables(
         cfg, {"params": mp, "batch_stats": jax.device_get(mst.batch_stats)},
-        pairs=3)
+        pairs=pairs)
     a = {tu.keystr(p): np.asarray(l) for p, l in
          tu.tree_leaves_with_path(jax.device_get(st.params))}
     b = {tu.keystr(p): np.asarray(l)
