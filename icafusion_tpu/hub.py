@@ -54,9 +54,12 @@ def create(name: str, nc: int = 3, weights: str = None, img_size: int = 640,
 
 
 def pipeline(name: str, weights: str = None, nc: int = 3, img_size: int = 640,
-             batch_size: int = 1, conf_thres: float = 0.25):
-    """Ready-to-use ServingEngine (autoShape analog, common.py:400-553)."""
+             batch_size: int = 1, conf_thres: float = 0.25, merge_streams=0):
+    """Ready-to-use ServingEngine (autoShape analog, common.py:400-553).
+    merge_streams: int or 'auto' — stream-merged execution
+    (utils/stream_merge.py; identical outputs)."""
     from icafusion_tpu.serve.engine import ServingEngine
     model, variables = create(name, nc=nc, weights=weights, img_size=img_size)
     return ServingEngine(model=model, variables=variables, img_size=img_size,
-                         batch_size=batch_size, conf_thres=conf_thres)
+                         batch_size=batch_size, conf_thres=conf_thres,
+                         merge_streams=merge_streams)
