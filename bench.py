@@ -143,7 +143,8 @@ def main():
     print(f"{dt*1e3:.2f} ms/batch @ b{args.batch}", file=sys.stderr)
 
     print(json.dumps({
-        "metric": f"icafusion_{args.scale} paired 640x640 serving throughput "
+        "metric": f"icafusion_{args.scale} paired {args.imgsz}x{args.imgsz} "
+                  "serving throughput "
                   f"(two-stream fwd + decode + NMS, {mode}, batch {args.batch}); "
                   "vs_baseline uses an ESTIMATED A100-FP16 ~90 paired fps "
                   "(derived, not measured — see BENCH.md)",
