@@ -79,7 +79,10 @@ def load_model_for_inference(cfg, weights: str, nc=None, dtype=None,
     merge = resolve_merge(merge, mc)
     if merge:
         from icafusion_tpu.utils.stream_merge import merge_stream_variables
-        variables = merge_stream_variables(mc, dict(variables), pairs=merge)
+        # the merged tree is HOST numpy; make it device-resident once or every
+        # jitted batch re-uploads the full weight set over the interconnect
+        variables = jax.device_put(
+            merge_stream_variables(mc, dict(variables), pairs=merge))
         model = build_model(mc, dtype=dtype or jnp.float32, merge_pairs=merge)
     return mc, model, variables
 

@@ -135,8 +135,11 @@ def main():
                                                       resolve_merge)
         mk = resolve_merge(args.merge, cfg)
         if mk:
-            variables = merge_stream_variables(cfg, jax.device_get(variables),
-                                               pairs=mk)
+            # device_put the merged (host numpy) tree or every profiled call
+            # re-uploads the weights over the tunnel, swamping the profile
+            variables = jax.device_put(
+                merge_stream_variables(cfg, jax.device_get(variables),
+                                       pairs=mk))
             model = build_model(cfg, dtype=jnp.bfloat16, merge_pairs=mk)
             print(f"profiling stream-merged graph (pairs={mk})")
 

@@ -201,7 +201,8 @@ def run(ckpt: str = CKPT_DEFAULT, data_root: str = DATA_DEFAULT,
         mk = resolve_merge(stream_merge, cfg)
         if mk:
             model = build_model(cfg, dtype=jnp.float32, merge_pairs=mk)
-            mv = merge_stream_variables(cfg, dict(variables), pairs=mk)
+            mv = jax.device_put(
+                merge_stream_variables(cfg, dict(variables), pairs=mk))
             dets = filter_degenerate(
                 jax_detect(mv, model, pairs, imgsz, top_k=top_k, batch=batch))
             scored = score_reference(dets, gts)
