@@ -50,12 +50,13 @@ def main():
                     help="serve bf16 (no quantization)")
     ap.add_argument("--train", action="store_true",
                     help="benchmark the training step instead of serving")
-    ap.add_argument("--merge", default=None, metavar="K",
+    ap.add_argument("--merge", default="auto", metavar="K",
                     help="stream-merge the first K RGB/IR layer pairs into "
                          "block-diagonal modules (utils/stream_merge.py; MXU "
-                         "lane recovery on sub-128-ch stages); 'auto' merges "
-                         "the lane-starved prefix. Default: off until the "
-                         "on-chip win is measured (BENCH.md)")
+                         "lane recovery on sub-128-ch stages); 'auto' "
+                         "(default) merges the lane-starved prefix — "
+                         "measured +7-9% serving on-chip (BENCH.md round 3); "
+                         "0 disables")
     ap.add_argument("--input-dtype", default="f32", choices=["f32", "bf16"],
                     help="--train only: dtype of the device-resident image "
                          "batch (bf16 removes the in-step f32->bf16 "

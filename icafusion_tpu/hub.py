@@ -54,7 +54,8 @@ def create(name: str, nc: int = 3, weights: str = None, img_size: int = 640,
 
 
 def pipeline(name: str, weights: str = None, nc: int = 3, img_size: int = 640,
-             batch_size: int = 1, conf_thres: float = 0.25, merge_streams=0):
+             batch_size: int = 1, conf_thres: float = 0.25,
+             merge_streams="auto"):
     """Ready-to-use ServingEngine (autoShape analog, common.py:400-553).
     merge_streams: int or 'auto' — stream-merged execution
     (utils/stream_merge.py; identical outputs)."""

@@ -38,10 +38,11 @@ class ServingEngine:
     max_det: int = 300
     n_devices: Optional[int] = None
     dtype: str = "bfloat16"
-    merge_streams: Any = 0   # run the first k RGB/IR layer pairs as one
+    merge_streams: Any = "auto"   # run the first k RGB/IR layer pairs as one
     # block-diagonal module each — MXU lane recovery on the sub-128-channel
     # stages (utils/stream_merge.py); numerically identical outputs.
-    # int, or "auto" for exactly the lane-starved prefix.
+    # int (0 disables), or "auto" (default) for exactly the lane-starved
+    # prefix — measured +7-9% serving throughput on-chip (BENCH.md round 3).
 
     def __post_init__(self):
         from icafusion_tpu.utils.stream_merge import resolve_merge

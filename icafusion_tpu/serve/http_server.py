@@ -79,7 +79,7 @@ def main(argv=None):
                     help="folder/glob of RGB images for int8 calibration")
     ap.add_argument("--calib-ir", default=None,
                     help="folder/glob of IR images for int8 calibration")
-    ap.add_argument("--merge", default="0", metavar="K",
+    ap.add_argument("--merge", default="auto", metavar="K",
                     help="stream-merge the first K RGB/IR layer pairs "
                          "(utils/stream_merge.py; identical outputs); 'auto' merges "
                          "exactly the lane-starved prefix")
