@@ -57,6 +57,11 @@ def main():
                          "(default) merges the lane-starved prefix — "
                          "measured +7-9% serving on-chip (BENCH.md round 3); "
                          "0 disables")
+    ap.add_argument("--int8-skip", default="", metavar="M0,M1/cv3,...",
+                    help="extra module-path prefixes to leave in bf16 on the "
+                         "int8 path (appended to the detect-feeder default) — "
+                         "quantization-surgery experiments, e.g. the merged "
+                         "stem pair")
     ap.add_argument("--input-dtype", default="f32", choices=["f32", "bf16"],
                     help="--train only: dtype of the device-resident image "
                          "batch (bf16 removes the in-step f32->bf16 "
@@ -108,8 +113,11 @@ def main():
         calib = calibrate(model, variables, [(rgb[:4], ir[:4])])
         # production default: Detect-feeder convs stay fp (+0.4 pts mAP@50
         # on the trained instrument, three 1x1 convs of bf16 — ACCURACY.md)
-        variables = quantize_variables(variables, calib,
-                                       skip=detect_feeder_skip(cfg))
+        skip = detect_feeder_skip(cfg)
+        if args.int8_skip:
+            skip = skip + tuple(s for s in args.int8_skip.split(",") if s)
+            print(f"int8 skip: {skip}", file=sys.stderr)
+        variables = quantize_variables(variables, calib, skip=skip)
         print(f"int8 calibration+quantize {time.time()-t0:.0f}s",
               file=sys.stderr)
         mode = "int8-W8A8" + (f"+merge{merge}" if merge else "")
