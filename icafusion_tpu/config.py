@@ -141,6 +141,94 @@ class HypConfig:
         return dataclasses.asdict(self)
 
 
+# ---------------------------------------------------------------------------
+# Bare config-name resolution (reference check_file glob semantics,
+# utils/general.py:149-160: a bare filename is searched for anywhere in the
+# tree so `--cfg yolov5n_Transfusion_FLIR.yaml` just works).  Here bare names
+# resolve against the shipped presets under configs/{models,data,hyp}; the
+# reference's per-dataset model files (<base>_<DATASET>.yaml, which differ
+# from <base>.yaml only in nc) map to the dataset-agnostic preset plus an nc
+# override taken from this table (each value matches the nc the corresponding
+# reference YAML declares).
+# ---------------------------------------------------------------------------
+
+_CONFIGS_ROOT = Path(__file__).resolve().parents[1] / "configs"
+
+_MODEL_DATASET_NC = {
+    "FLIR": 3,       # models/transformer/yolov5l_Transfusion_FLIR.yaml:2
+    "kaist": 1,      # models/transformer/yolov5l_Transfusion_kaist.yaml:2
+    "VEDAI": 9,      # models/transformer/yolov5l_Transfusion_VEDAI.yaml:2
+    "LLVIP": 1,      # models/transformer/yolov5l_Transfusion_LLVIP.yaml:2
+    "SeaDrone": 7,   # models/transformer/yolov5m_Transfusion_SeaDrone.yaml:2
+    "CVC14": 1,      # data/multispectral/CVC14.yaml (names: ['person'])
+}
+
+
+def _norm_stem(name: str) -> str:
+    return Path(name).stem.lower().replace("-", "_")
+
+
+def resolve_model_yaml(spec) -> Tuple[Path, Optional[int]]:
+    """Resolve a model-config spec to (yaml_path, nc_override).
+
+    Accepts: an existing path; a bare preset name (`yolov5s_Transfusion.yaml`);
+    or a reference-style per-dataset name (`yolov5n_Transfusion_FLIR.yaml`),
+    which maps to the dataset-agnostic preset with the dataset's nc."""
+    p = Path(spec)
+    if p.exists():
+        return p, None
+    models_dir = _CONFIGS_ROOT / "models"
+    cand = models_dir / p.name
+    if cand.exists():
+        return cand, None
+    stem = p.stem
+    for suffix, nc in _MODEL_DATASET_NC.items():
+        if stem.lower().endswith("_" + suffix.lower()):
+            base = stem[: -(len(suffix) + 1)]
+            cand = models_dir / (base + ".yaml")
+            if cand.exists():
+                return cand, nc
+    # last resort: normalized-stem match anywhere under configs/
+    want = _norm_stem(spec)
+    for f in sorted(_CONFIGS_ROOT.rglob("*.yaml")):
+        if _norm_stem(f.name) == want:
+            return f, None
+    raise FileNotFoundError(
+        f"model config '{spec}' not found (searched as a path, under "
+        f"{models_dir}, and as a reference-style <base>_<DATASET>.yaml name)")
+
+
+def resolve_data_yaml(spec) -> Path:
+    """Resolve a data-config spec: an existing path, a preset filename under
+    configs/data/, or a reference data YAML name (`FLIR-align-3class.yaml` →
+    configs/data/flir_align_3class.yaml via case/hyphen-insensitive stems)."""
+    p = Path(spec)
+    if p.exists():
+        return p
+    data_dir = _CONFIGS_ROOT / "data"
+    cand = data_dir / p.name
+    if cand.exists():
+        return cand
+    want = _norm_stem(spec)
+    for f in sorted(data_dir.glob("*.yaml")):
+        if _norm_stem(f.name) == want:
+            return f
+    raise FileNotFoundError(
+        f"data config '{spec}' not found (searched as a path and under {data_dir})")
+
+
+def resolve_hyp_yaml(spec) -> Path:
+    p = Path(spec)
+    if p.exists():
+        return p
+    cand = _CONFIGS_ROOT / "hyp" / p.name
+    if cand.exists():
+        return cand
+    raise FileNotFoundError(
+        f"hyp config '{spec}' not found (searched as a path and under "
+        f"{_CONFIGS_ROOT / 'hyp'})")
+
+
 def _norm_from(f) -> FromSpec:
     if isinstance(f, list):
         return tuple(int(x) for x in f)
@@ -187,8 +275,11 @@ def load_model_config(path_or_dict, nc: Optional[int] = None,
     Mirrors Model.__init__'s yaml handling incl. nc/anchors overrides
     (reference yolo_test.py:75-94), with eval() replaced by literal/name mapping."""
     if isinstance(path_or_dict, (str, Path)):
+        path, suffix_nc = resolve_model_yaml(path_or_dict)
+        if nc is None and suffix_nc is not None:
+            nc = suffix_nc
         name = Path(path_or_dict).stem
-        with open(path_or_dict) as f:
+        with open(path) as f:
             d = yaml.safe_load(f)
     else:
         d = dict(path_or_dict)
@@ -236,7 +327,7 @@ def with_anchors(cfg: ModelConfig, anchors) -> ModelConfig:
 
 
 def load_data_config(path) -> DataConfig:
-    with open(path) as f:
+    with open(resolve_data_yaml(path)) as f:
         d = yaml.safe_load(f)
     names = d.get("names", [])
     nc = int(d.get("nc", len(names)))
@@ -257,7 +348,7 @@ def load_data_config(path) -> DataConfig:
 def load_hyp_config(path=None, **overrides) -> HypConfig:
     d = dict(_HYP_DEFAULTS)
     if path is not None:
-        with open(path) as f:
+        with open(resolve_hyp_yaml(path)) as f:
             loaded = yaml.safe_load(f) or {}
         unknown = set(loaded) - set(_HYP_DEFAULTS)
         if unknown:

@@ -65,6 +65,45 @@ def test_model_preset_builds():
     assert len(maps) == 3
 
 
+def test_bare_name_resolution():
+    """Reference check_file semantics (general.py:149-160): bare config names
+    work in every loader. Per-dataset reference model names resolve to the
+    dataset-agnostic preset with the dataset's nc."""
+    from icafusion_tpu.config import (load_model_config, resolve_data_yaml,
+                                      resolve_hyp_yaml, resolve_model_yaml)
+
+    # reference-style model name -> preset + nc from suffix table
+    path, nc = resolve_model_yaml("yolov5n_Transfusion_FLIR.yaml")
+    assert path.name == "yolov5n_Transfusion.yaml" and nc == 3
+    path, nc = resolve_model_yaml("yolov5l_Transfusion_kaist.yaml")
+    assert path.name == "yolov5l_Transfusion.yaml" and nc == 1
+    path, nc = resolve_model_yaml("yolov5_VGG16_Transfusion_FLIR.yaml")
+    assert path.name == "yolov5_VGG16_Transfusion.yaml" and nc == 3
+    # bare preset name, no suffix
+    path, nc = resolve_model_yaml("yolov5s_Add.yaml")
+    assert path.name == "yolov5s_Add.yaml" and nc is None
+
+    mc = load_model_config("yolov5n_Transfusion_FLIR.yaml")
+    assert mc.nc == 3 and mc.is_two_stream
+    mc = load_model_config("yolov5n_Transfusion_kaist.yaml")
+    assert mc.nc == 1
+    # explicit nc wins over the suffix
+    mc = load_model_config("yolov5n_Transfusion_FLIR.yaml", nc=9)
+    assert mc.nc == 9
+
+    # reference data YAML names -> shipped presets (case/hyphen-insensitive)
+    assert resolve_data_yaml("FLIR-align-3class.yaml").name == \
+        "flir_align_3class.yaml"
+    assert resolve_data_yaml("kaist.yaml").name == "kaist.yaml"
+    assert resolve_data_yaml("LLVIP.yaml").name == "llvip.yaml"
+    assert resolve_hyp_yaml("hyp.scratch.yaml").name == "hyp.scratch.yaml"
+
+    with pytest.raises(FileNotFoundError):
+        resolve_model_yaml("yolov5z_NoSuch_FLIR.yaml")
+    with pytest.raises(FileNotFoundError):
+        resolve_data_yaml("no_such_dataset.yaml")
+
+
 def test_zoo_matches_reference_yamls(reference_dir):
     """Every zoo factory builds the layer-list-identical graph to its
     reference YAML counterpart (caught live: the VGG16 head's final C3 is
