@@ -56,6 +56,15 @@ def parse_args(argv=None):
                          "identical trajectory, full MXU lanes on sub-128-ch "
                          "stages (utils/stream_merge.py); checkpoints keep "
                          "the standard layout")
+    ap.add_argument("--results-format", default="native",
+                    choices=["native", "reference"],
+                    help="results.csv layout; 'reference' writes the "
+                         "reference's epoch + 29-key row (train.py:398-411), "
+                         "parseable by its plot_results unmodified")
+    ap.add_argument("--kaist-ann", default=None, metavar="JSON",
+                    help="KAIST annotation json: per-epoch eval writes MR "
+                         "submission txts and fills the reference-format "
+                         "row's 9 MR + recall columns")
     return ap.parse_args(argv)
 
 
@@ -95,7 +104,8 @@ def main(argv=None):
             autoanchor=not args.noautoanchor,
             accum_steps=resolve_accum(args.accum, args.batch_size),
             distributed=args.distributed, adam=args.adam,
-            merge_streams=resolve_merge(args.merge_streams, model_cfg))
+            merge_streams=resolve_merge(args.merge_streams, model_cfg),
+            results_format=args.results_format, kaist_ann=args.kaist_ann)
 
     if args.evolve:
         # GA over the hyp space: each generation is a short fit() run scored

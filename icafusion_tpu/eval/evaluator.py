@@ -93,10 +93,20 @@ class Evaluator:
     single_cls: bool = False             # force class 0 (test.py:157-158)
     augment: bool = False                # TTA ensemble (test.py:128 augment=)
     n_devices: Optional[int] = None      # shard eval batches over a data mesh
+    # optional val loss during eval (the reference computes it from the raw
+    # fmaps the eval forward already produced — test.py:128-133); pass the
+    # Trainer's YoloLoss. Adds 'val_loss_items' [box,obj,cls,rank] to run()'s
+    # output at no extra forward cost.
+    loss_fn: Optional[object] = None
+    max_targets: int = 128
 
     def __post_init__(self):
         model = self.model
         use_tta = self.augment
+        loss_fn = self.loss_fn
+        if loss_fn is not None and use_tta:
+            raise ValueError("val loss is unavailable under TTA (the ensembled "
+                             "prediction has no single raw-fmap set)")
 
         def _infer_fn(variables, rgb, ir):
             rgb = rgb.astype(jnp.float32) / 255.0
@@ -111,6 +121,18 @@ class Evaluator:
                                        agnostic=self.single_cls,
                                        max_det=self.max_det, top_k=self.top_k)
 
+        def _infer_loss_fn(variables, rgb, ir, targets, mask):
+            rgb = rgb.astype(jnp.float32) / 255.0
+            ir = ir.astype(jnp.float32) / 255.0
+            pred, _, fmaps = model.apply(variables, rgb, ir, train=False,
+                                         decode=True)
+            _, items = loss_fn(fmaps, targets, mask)
+            dets = non_max_suppression(pred, conf_thres=self.conf_thres,
+                                       iou_thres=self.iou_thres, multi_label=True,
+                                       agnostic=self.single_cls,
+                                       max_det=self.max_det, top_k=self.top_k)
+            return dets, items
+
         if self.n_devices is not None and self.n_devices != 1:
             # multi-chip eval: batch sharded over the data mesh, params
             # replicated — same SPMD shape as the train step/serving engine
@@ -124,9 +146,16 @@ class Evaluator:
             self._repl_sharding = repl
             self._infer = jax.jit(_infer_fn, in_shardings=(repl, data, data),
                                   out_shardings=data)
+            if loss_fn is not None:
+                self._infer_loss = jax.jit(
+                    _infer_loss_fn,
+                    in_shardings=(repl, data, data, data, data),
+                    out_shardings=(data, repl))
         else:
             self._data_sharding = None
             self._infer = jax.jit(_infer_fn)
+            if loss_fn is not None:
+                self._infer_loss = jax.jit(_infer_loss_fn)
 
     def run(self, variables, val_batches, img_size: int,
             confusion: bool = False, mr_txt_dir: Optional[str] = None,
@@ -144,6 +173,7 @@ class Evaluator:
         if self._data_sharding is not None:
             variables = jax.device_put(variables, self._repl_sharding)
         t_infer, n_timed, batch_idx = 0.0, 0, 0
+        loss_sum, loss_n = np.zeros(4, np.float64), 0
         for batch in val_batches:
             if self._data_sharding is not None:
                 rgb = jax.device_put(batch["rgb"], self._data_sharding)
@@ -151,7 +181,32 @@ class Evaluator:
             else:
                 rgb, ir = jnp.asarray(batch["rgb"]), jnp.asarray(batch["ir"])
             t0 = time.perf_counter()
-            dets = self._infer(variables, rgb, ir)
+            if self.loss_fn is not None:
+                # per-batch mean loss items; the last batch's repeated padding
+                # rows weight its final sample slightly higher, same order of
+                # approximation as the reference's per-batch loss mean
+                from icafusion_tpu.train.loss import pad_targets
+                canvas_labels = []
+                for l, shp in zip(batch["labels"], batch["shapes"]):
+                    l = np.asarray(l, np.float32).reshape(-1, 5).copy()
+                    (h0, w0), (ratio, pad) = shp
+                    g = ratio[0]
+                    # original-normalized xywh -> letterboxed-canvas-normalized
+                    l[:, 1] = (l[:, 1] * w0 * g + pad[0]) / img_size
+                    l[:, 2] = (l[:, 2] * h0 * g + pad[1]) / img_size
+                    l[:, 3] = l[:, 3] * w0 * g / img_size
+                    l[:, 4] = l[:, 4] * h0 * g / img_size
+                    canvas_labels.append(l)
+                tgt, tmask = pad_targets(canvas_labels,
+                                         max_targets=self.max_targets)
+                if self._data_sharding is not None:
+                    tgt = jax.device_put(tgt, self._data_sharding)
+                    tmask = jax.device_put(tmask, self._data_sharding)
+                dets, items = self._infer_loss(variables, rgb, ir, tgt, tmask)
+                loss_sum += np.asarray(jax.device_get(items), np.float64)
+                loss_n += 1
+            else:
+                dets = self._infer(variables, rgb, ir)
             det_list = detections_to_numpy(dets)  # forces device sync
             # skip batch 0 (compile) and batch 1 (post-compile warm-up
             # artifact — CLAUDE.md); remaining timing includes the per-batch
@@ -215,6 +270,8 @@ class Evaluator:
 
         out = summarize(stats, self.nc, plot_dir=plots_dir, names=names or ())
         out["seen"] = seen
+        if self.loss_fn is not None:
+            out["val_loss_items"] = (loss_sum / max(loss_n, 1)).tolist()
         # end-to-end device ms/img (fwd + decode + NMS + D2H), first batch
         # (compile) excluded; the reference prints the analogous per-image
         # speeds at test.py:315-317

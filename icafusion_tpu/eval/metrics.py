@@ -118,6 +118,7 @@ def summarize(stats, nc: int, plot_dir=None, names=()):
     stats: list of (correct (n,niou) bool, conf (n,), pred_cls (n,), tcls list).
     plot_dir: also emit PR/F1/P/R curve pngs (reference plot=True path)."""
     out = dict(mp=0.0, mr=0.0, map50=0.0, map75=0.0, map=0.0,
+               tp=0.0, fp=0.0, fn=0.0, f1=0.0,
                per_class={}, nt=np.zeros(nc, np.int64))
     if not stats:
         return out
@@ -130,6 +131,11 @@ def summarize(stats, nc: int, plot_dir=None, names=()):
     ap50, ap75, ap_mean = ap[:, 0], ap[:, 5], ap.mean(1)
     out.update(mp=float(p.mean()), mr=float(r.mean()), map50=float(ap50.mean()),
                map75=float(ap75.mean()), map=float(ap_mean.mean()))
+    if len(tp_c):
+        # the reference's results tuple carries the FIRST class's counts/F1 at
+        # the max-F1 threshold (test.py:363-367: tp[0], fp[0], fn[0], f1[0])
+        out.update(tp=float(tp_c[0]), fp=float(fp_c[0]), fn=float(fn_c[0]),
+                   f1=float(f1[0]))
     for k, c in enumerate(classes):
         out["per_class"][int(c)] = dict(p=float(p[k]), r=float(r[k]),
                                         ap50=float(ap50[k]), ap=float(ap_mean[k]))

@@ -40,6 +40,19 @@ from icafusion_tpu.utils.general import colorstr, increment_path
 RESULTS_HEADER = ["epoch", "lbox", "lobj", "lcls", "P", "R", "mAP50", "mAP",
                   "fitness", "lr", "time_s"]
 
+# The reference's 29-key per-epoch row (train.py:398-411), consumed by its
+# plot_results (plots.py:457-480). Written when FitConfig.results_format ==
+# "reference"; the MR columns are zeros unless kaist_ann is set (the
+# reference reserves them but has the computation disabled, test.py:260-285).
+REFERENCE_RESULTS_KEYS = [
+    "train/box_loss", "train/obj_loss", "train/cls_loss", "train/rank_loss",
+    "TP", "FP", "FN", "F1", "metrics/precision", "metrics/recall",
+    "metrics/mAP_0.5", "metrics/mAP_0.5:0.95",
+    "val/box_loss", "val/obj_loss", "val/cls_loss", "val/rank_loss",
+    "x/lr0", "x/lr1", "x/lr2",
+    "MR_all", "MR_day", "MR_night", "MR_near", "MR_medium", "MR_far",
+    "MR_none", "MR_partial", "MR_heavy", "Recall_all"]
+
 
 class EpochMeter:
     """Device-side running sums of the per-step loss components.
@@ -103,6 +116,14 @@ class FitConfig:
     # same training trajectory, sub-128-ch stages on full MXU lanes.
     # Checkpoints are written in the standard (unmerged) layout.
     merge_streams: int = 0
+    # results.csv layout: "native" (11-col) or "reference" — the reference's
+    # epoch + 29-key row (train.py:398-411), parseable by its plot_results
+    # unmodified; val losses are computed from the eval forward's raw fmaps.
+    results_format: str = "native"
+    # KAIST annotation json: per-epoch eval also writes the MR submission txts
+    # and populates the 9 MR + recall columns of the reference-format row
+    # (the plumbing the reference reserves at train.py:398-411/test.py:260-285)
+    kaist_ann: Optional[str] = None
 
 
 def fit(cfg: FitConfig) -> dict:
@@ -255,7 +276,10 @@ def fit(cfg: FitConfig) -> dict:
     step = steps[1.0]
     scale_rng = np.random.default_rng(cfg.seed + 1)
 
-    evaluator = Evaluator(model=model, nc=cfg.data_cfg.nc)
+    ref_csv = cfg.results_format == "reference"
+    evaluator = Evaluator(model=model, nc=cfg.data_cfg.nc,
+                          loss_fn=trainer.loss_fn if ref_csv else None,
+                          max_targets=cfg.max_targets)
 
     def ckpt_view(st):
         """Checkpoints always carry the standard layout: unmerge before write
@@ -268,7 +292,13 @@ def fit(cfg: FitConfig) -> dict:
     results_csv = run_dir / "results.csv"
     if is_main and not results_csv.exists():
         with open(results_csv, "w", newline="") as f:
-            csv.writer(f).writerow(RESULTS_HEADER)
+            if ref_csv:
+                # exact reference header semantics (train.py:407-409)
+                n = len(REFERENCE_RESULTS_KEYS) + 1
+                f.write((("%s," * n) % tuple(["epoch"] + REFERENCE_RESULTS_KEYS)
+                         ).rstrip(",") + "\n")
+            else:
+                csv.writer(f).writerow(RESULTS_HEADER)
 
     final = {}
     for epoch in range(start_epoch, cfg.epochs):
@@ -314,6 +344,7 @@ def fit(cfg: FitConfig) -> dict:
         lr_now = float(metrics["lr"])
 
         ev = {"mp": 0, "mr": 0, "map50": 0, "map": 0}
+        mr_vals = [0.0] * 10
         last_epoch = epoch == cfg.epochs - 1
         if (epoch + 1) % cfg.eval_every == 0 or last_epoch:
             ema_vars = jax.device_get(state.ema.tree)
@@ -321,8 +352,22 @@ def fit(cfg: FitConfig) -> dict:
             # (reference test.py plots at final eval, train.py:454-473)
             ev = evaluator.run(ema_vars, val_loader.val_batches(), cfg.imgsz,
                                confusion=last_epoch, names=names,
+                               mr_txt_dir=str(run_dir / "mr_txt")
+                               if (cfg.kaist_ann and is_main) else None,
                                plots_dir=str(run_dir)
                                if (last_epoch and is_main) else None)
+            if cfg.kaist_ann and is_main:
+                # per-epoch KAIST MR columns (the slots the reference reserves
+                # at train.py:398-411 with the computation disabled)
+                try:
+                    from icafusion_tpu.eval.kaist import evaluate_kaist
+                    kr = evaluate_kaist(cfg.kaist_ann,
+                                        str(run_dir / "mr_txt" / "result.txt"))
+                    mr_vals = [kr.MR_all, kr.MR_day, kr.MR_night, kr.MR_near,
+                               kr.MR_medium, kr.MR_far, kr.MR_none,
+                               kr.MR_partial, kr.MR_heavy, kr.recall_all]
+                except Exception as e:
+                    log(f"KAIST MR eval failed: {e}")
             fit_val = fitness(np.array([0, 0, 0, 0, ev["mp"], ev["mr"],
                                         ev["map50"], ev["map"]]))
             if fit_val > best_fit:
@@ -340,11 +385,24 @@ def fit(cfg: FitConfig) -> dict:
             final = ev
             continue
         with open(results_csv, "a", newline="") as f:
-            csv.writer(f).writerow(
-                [epoch, *[f"{x:.5f}" for x in means[:3]],
-                 f"{ev['mp']:.5f}", f"{ev['mr']:.5f}", f"{ev['map50']:.5f}",
-                 f"{ev['map']:.5f}", f"{best_fit:.5f}", f"{lr_now:.6f}",
-                 f"{dt:.1f}"])
+            if ref_csv:
+                val_items = list(ev.get("val_loss_items", [0.0] * 4))
+                vals = ([*means[:3], 0.0,                     # train losses
+                         ev.get("tp", 0.0), ev.get("fp", 0.0),
+                         ev.get("fn", 0.0), ev.get("f1", 0.0),
+                         ev["mp"], ev["mr"], ev["map50"], ev["map"],
+                         *val_items,                          # val losses
+                         lr_now, lr_now, lr_now,              # x/lr0-2
+                         *mr_vals])
+                n = len(vals) + 1
+                f.write((("%g," * n) % tuple([epoch] + vals)).rstrip(",")
+                        + "\n")
+            else:
+                csv.writer(f).writerow(
+                    [epoch, *[f"{x:.5f}" for x in means[:3]],
+                     f"{ev['mp']:.5f}", f"{ev['mr']:.5f}", f"{ev['map50']:.5f}",
+                     f"{ev['map']:.5f}", f"{best_fit:.5f}", f"{lr_now:.6f}",
+                     f"{dt:.1f}"])
         loggers.log_scalars(
             {"train/box_loss": means[0], "train/obj_loss": means[1],
              "train/cls_loss": means[2], "train/loss": means[3],

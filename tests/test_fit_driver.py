@@ -127,3 +127,71 @@ def test_fit_merge_streams_checkpoints_standard_layout(tmp_path):
                             resume=str(run_dir / "weights/last.ckpt"), **kw))
     rows = list(csv.DictReader(open(Path(result2["run_dir"]) / "results.csv")))
     assert len(rows) == 1 and float(rows[0]["lobj"]) > 0
+
+
+@pytest.mark.slow
+def test_fit_reference_results_csv(tmp_path):
+    """results_format='reference' writes the reference's epoch + 29-key row
+    (train.py:398-411): exact header, real val losses from the eval forward,
+    KAIST MR columns populated when kaist_ann is given — and the REFERENCE's
+    own plot_results parses the file unmodified (plots.py:457-480)."""
+    from icafusion_tpu.config import DataConfig, load_hyp_config
+    from icafusion_tpu.models.zoo import tiny_icafusion_config
+    from icafusion_tpu.train.fit import (REFERENCE_RESULTS_KEYS, FitConfig,
+                                         fit)
+
+    _make_disk_dataset(tmp_path / "data", n=8)
+    data_cfg = DataConfig(nc=2, names=("a", "b"), path=str(tmp_path / "data"),
+                          train_rgb="visible/train", val_rgb="visible/train",
+                          train_ir="infrared/train", val_ir="infrared/train")
+    ann = Path(__file__).parent / "fixtures" / "KAIST_annotation.json"
+    result = fit(FitConfig(
+        model_cfg=tiny_icafusion_config(nc=2), data_cfg=data_cfg,
+        hyp=load_hyp_config(None), epochs=2, batch_size=4, imgsz=96,
+        project=str(tmp_path / "runs"), name="ref", autoanchor=False,
+        workers=0, warmup_min_steps=2, max_targets=16, n_devices=2,
+        results_format="reference", kaist_ann=str(ann)))
+    run_dir = Path(result["run_dir"])
+    csv_path = run_dir / "results.csv"
+
+    lines = csv_path.read_text().strip().splitlines()
+    assert lines[0] == ",".join(["epoch"] + REFERENCE_RESULTS_KEYS)
+    assert len(lines) == 3  # header + 2 epochs
+    rows = list(csv.DictReader(open(csv_path)))
+    for r in rows:
+        assert len(r) == 30 and None not in r.values()
+        # train losses real, rank slot zero (reference ranking loss disabled)
+        assert float(r["train/obj_loss"]) > 0
+        assert float(r["train/rank_loss"]) == 0.0
+        # val losses computed from the eval forward's fmaps, not zeros
+        assert float(r["val/obj_loss"]) > 0
+        for k in ("x/lr0", "x/lr1", "x/lr2"):
+            assert float(r[k]) > 0
+        # MR columns populated from the per-epoch KAIST eval
+        mr = [float(r[k]) for k in REFERENCE_RESULTS_KEYS[-10:]]
+        assert all(np.isfinite(mr))
+    # per-epoch MR submission artifacts
+    assert (run_dir / "mr_txt" / "result.txt").exists()
+
+    # the REFERENCE's plot_results consumes the csv unmodified
+    import sys
+    (run_dir / "results.png").unlink()  # ours from fit(); ref must recreate it
+    sys.path.insert(0, "/root/reference")
+    try:
+        from test_torch_parity import _stub_torchvision
+        _stub_torchvision()
+        import importlib
+        ref_plots = importlib.import_module("utils.plots")
+        assert str(Path(ref_plots.__file__)).startswith("/root/reference")
+        # plot_results swallows per-file parse errors with a printed warning
+        # (plots.py:473-474) — a clean run must print none
+        import contextlib
+        import io
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            ref_plots.plot_results(file=str(csv_path))
+        assert "Plotting error" not in buf.getvalue(), buf.getvalue()
+        assert (run_dir / "results.png").exists(), \
+            "reference plot_results failed to parse our csv"
+    finally:
+        sys.path.remove("/root/reference")
