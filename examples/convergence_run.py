@@ -25,9 +25,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def make_dataset(root: Path, n: int, rng: np.random.Generator, nc: int = 3):
+def make_dataset(root: Path, n: int, rng: np.random.Generator, nc: int = 3,
+                 hw=(256, 256)):
     """Colored rectangles (RGB) with matching bright boxes (IR) on dark noise —
-    separable by color (cls) and jointly localizable from either stream."""
+    separable by color (cls) and jointly localizable from either stream.
+    hw: source canvas (FLIR-aligned frames are 512x640 — use that for a
+    flagship-geometry instrument where rect val differs from square)."""
     import cv2
     for sub in ("visible/train", "infrared/train", "labels/train",
                 "visible/val", "infrared/val", "labels/val"):
@@ -35,7 +38,7 @@ def make_dataset(root: Path, n: int, rng: np.random.Generator, nc: int = 3):
     split_at = int(n * 0.85)
     for i in range(n):
         split = "train" if i < split_at else "val"
-        h, w = 256, 256
+        h, w = hw
         rgb = rng.integers(0, 40, (h, w, 3), dtype=np.uint8)
         ir = rng.integers(0, 30, (h, w, 3), dtype=np.uint8)
         lines = []
@@ -80,6 +83,11 @@ def main():
     ap.add_argument("--resume", default=None,
                     help="resume from a last.ckpt of a previous run over the "
                          "same workdir dataset")
+    ap.add_argument("--canvas", default="256x256", metavar="HxW",
+                    help="source image canvas, e.g. 512x640 for FLIR-shaped "
+                         "frames (only applies when the dataset is generated)")
+    ap.add_argument("--merge-streams", default="0", metavar="K",
+                    help="stream-merged training ('auto' or int)")
     args = ap.parse_args()
 
     from icafusion_tpu.config import DataConfig, load_hyp_config
@@ -88,12 +96,14 @@ def main():
                                           tiny_icafusion_config,
                                           vgg16_icafusion_config)
     from icafusion_tpu.train.fit import FitConfig, fit
+    from icafusion_tpu.utils.stream_merge import resolve_merge
 
     work = Path(args.workdir)
     data_root = work / "data"
     if not (data_root / "visible/train").exists():
-        make_dataset(data_root, args.n, np.random.default_rng(0))
-        print(f"dataset: {args.n} pairs under {data_root}")
+        hw = tuple(int(x) for x in args.canvas.split("x"))
+        make_dataset(data_root, args.n, np.random.default_rng(0), hw=hw)
+        print(f"dataset: {args.n} pairs ({hw[0]}x{hw[1]}) under {data_root}")
 
     print(f"devices: {jax.devices()}")
     data_cfg = DataConfig(nc=3, names=("red", "green", "blue"),
@@ -116,7 +126,8 @@ def main():
         epochs=args.epochs, batch_size=args.batch, imgsz=args.imgsz,
         project=str(work / "runs"), name="exp", eval_every=args.eval_every,
         warmup_min_steps=50, max_targets=32, workers=4,
-        pretrained=args.pretrained, adam=args.adam, resume=args.resume))
+        pretrained=args.pretrained, adam=args.adam, resume=args.resume,
+        merge_streams=resolve_merge(args.merge_streams, mc)))
     print(f"final: mAP50={result['map50']:.4f} best={result['best_fitness']:.4f} "
           f"run={result['run_dir']}")
     assert result["best_fitness"] > args.gate, \

@@ -104,7 +104,7 @@ def run(ckpt: str = CKPT_DEFAULT, data_root: str = DATA_DEFAULT,
         batch: int = 8, top_k: int = 8192, dtypes=("fp32", "bf16", "int8"),
         merge_sweep: bool = True, stream_merge=0,
         int8_weight_clip: str = "absmax", int8_skip="detect",
-        verbose: bool = True):
+        rect: bool = False, verbose: bool = True):
     import jax
     import jax.numpy as jnp
 
@@ -192,6 +192,30 @@ def run(ckpt: str = CKPT_DEFAULT, data_root: str = DATA_DEFAULT,
             f"delta={entry['map50_delta_vs_torch'] * 100:+.3f} pts "
             f"match@0.01={a['match_rate']:.4f} meanIoU={a['mean_iou']:.4f}")
 
+    if rect:
+        # rect pad-0.5 val (the reference's eval protocol, test.py:100):
+        # per-image stride-aligned canvases on BOTH frameworks; scored against
+        # the same GT so the delta stays in acceptance-gate units
+        torch_r, _ = torch_detect(ref_model, pairs, imgsz, rect=True)
+        torch_r = filter_degenerate(torch_r)
+        ref_r = score_reference(torch_r, gts)
+        results["torch_rect"] = ref_r
+        model = build_model(cfg, dtype=jnp.float32)
+        dets_r = filter_degenerate(
+            jax_detect(variables, model, pairs, imgsz, rect=True,
+                       top_k=top_k, batch=batch))
+        scored = score_reference(dets_r, gts)
+        results["ours"]["fp32+rect"] = {
+            "ref_scored": scored,
+            "map50_delta_vs_torch": scored["map50"] - ref_r["map50"],
+            "agreement_conf0.01_vs_torch": box_agreement(torch_r, dets_r,
+                                                         conf_cut=0.01)}
+        a = results["ours"]["fp32+rect"]["agreement_conf0.01_vs_torch"]
+        log(f"ours fp32+rect: mAP50={scored['map50']:.5f} vs torch-rect "
+            f"{ref_r['map50']:.5f} "
+            f"delta={(scored['map50'] - ref_r['map50']) * 100:+.3f} pts "
+            f"match@0.01={a['match_rate']:.4f}")
+
     if stream_merge:
         # stream-merged graph (utils/stream_merge.py): must reproduce the
         # unmerged fp32 eval exactly — certifies the lane-recovery transform
@@ -258,6 +282,9 @@ def main():
                     help="also score the stream-merged fp32 graph "
                          "(int, 'auto', or 0 to skip)")
     ap.add_argument("--no-merge", action="store_true")
+    ap.add_argument("--rect", action="store_true",
+                    help="also score the rect pad-0.5 val protocol on both "
+                         "frameworks (reference test.py:100)")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     ap.add_argument("--write-json", default="TRAINED_PARITY.json")
     args = ap.parse_args()
@@ -272,7 +299,7 @@ def main():
             imgsz=args.imgsz, n=args.n, batch=args.batch,
             dtypes=tuple(args.dtypes.split(",")),
             merge_sweep=not args.no_merge, stream_merge=args.stream_merge,
-            int8_weight_clip=args.int8_weight_clip)
+            int8_weight_clip=args.int8_weight_clip, rect=args.rect)
     if args.write_json:
         Path(args.write_json).write_text(json.dumps(r, indent=2, default=float))
         print(f"wrote {args.write_json}")
