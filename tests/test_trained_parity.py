@@ -139,3 +139,66 @@ def test_stream_merged_eval_identical(trained_results):
     assert abs(e["map50_delta_vs_fp_ours"]) < 1e-4, e
     a = e["agreement_conf0.01_vs_fp_ours"]
     assert a["match_rate"] > 0.999 and a["mean_iou"] > 0.999, a
+
+
+# ---------------------------------------------------------------------------
+# Flagship-geometry instrument: yolov5s-Transfusion trained @ 640 (round 4).
+# The committed TRAINED_PARITY_640.json is scored on the 141-pair HELD-OUT
+# extval split (artifacts/trained_s640/extval) at the real 400/256/100 fusion
+# sequence lengths and s-scale channel widths. Gate: README.md:56-59
+# (within 0.3 mAP@50 pts of the reference torch stack).
+# ---------------------------------------------------------------------------
+
+CKPT_640 = ROOT / "artifacts/trained_s640/stripped.ckpt"
+ARTIFACT_640 = ROOT / "TRAINED_PARITY_640.json"
+
+
+def test_trained_parity_640_artifact_gate():
+    """Every scored numerics row of the flagship-geometry parity artifact is
+    inside the 0.3-pt acceptance gate, on a non-toy instrument (>=100 held-out
+    pairs, >=200 GT boxes). Regenerate with the command in
+    artifacts/trained_s640/README.md."""
+    import json
+
+    if not ARTIFACT_640.exists():
+        pytest.skip("TRAINED_PARITY_640.json not in tree")
+    r = json.loads(ARTIFACT_640.read_text())
+    assert r["imgsz"] == 640
+    assert r["n_images"] >= 100 and r["n_gt"] >= 200, (
+        f"instrument too small: {r['n_images']} imgs / {r['n_gt']} boxes")
+    assert r["torch"]["map50"] > 0.9, f"torch side degenerate: {r['torch']}"
+    for tag in ("fp32", "bf16", "int8"):
+        e = r["ours"][tag]
+        assert abs(e["map50_delta_vs_torch"]) <= 0.003, (
+            f"{tag}: delta {e['map50_delta_vs_torch'] * 100:+.3f} pts "
+            f"exceeds the 0.3 gate")
+    # rect pad-0.5 protocol scored on both frameworks
+    rect = r["ours"]["fp32+rect"]
+    assert abs(rect["map50_delta_vs_torch"]) <= 0.003, rect
+    # stream merge is a pure execution-layout change at fp32
+    merged = [v for k, v in r["ours"].items() if k.startswith("fp32+merge")]
+    assert merged and abs(merged[0]["map50_delta_vs_fp_ours"]) <= 1e-3, merged
+    # per-box agreement at deploy confidence
+    a = r["ours"]["fp32"]["agreement_conf0.01_vs_torch"]
+    assert a["match_rate"] > 0.97 and a["mean_iou"] > 0.98, a
+
+
+@pytest.mark.slow
+def test_trained_parity_640_live_smoke(reference_dir):
+    """Live cross-framework run of the flagship-geometry instrument on a
+    small slice: the s640 checkpoint through reverse_convert into the torch
+    stack and through our fp32 pipeline at 640, both scoring the held-out
+    extval labels."""
+    if not CKPT_640.exists():
+        pytest.skip("s640 checkpoint not in tree")
+    from trained_parity import run
+    r = run(ckpt=str(CKPT_640),
+            cfg_path=str(reference_dir /
+                         "models/transformer/yolov5s_Transfusion_FLIR.yaml"),
+            data_root=str(ROOT / "artifacts/trained_s640/extval"),
+            imgsz=640, n=8, batch=4, dtypes=("fp32",), merge_sweep=False,
+            stream_merge=0, verbose=False)
+    assert r["torch"]["map50"] > 0.9, f"torch side degenerate: {r['torch']}"
+    e = r["ours"]["fp32"]
+    assert abs(e["map50_delta_vs_torch"]) <= 0.003, (
+        f"640 live: delta {e['map50_delta_vs_torch'] * 100:+.3f} pts")
