@@ -32,7 +32,7 @@ from icafusion_tpu.eval.evaluator import Evaluator
 from icafusion_tpu.eval.metrics import fitness
 from icafusion_tpu.models.assembler import build_model
 from icafusion_tpu.parallel.mesh import make_mesh
-from icafusion_tpu.train.trainer import Trainer
+from icafusion_tpu.train.trainer import Trainer, scaled_size
 from icafusion_tpu.utils.checkpoint import (load_checkpoint, restore_train_state,
                                             save_checkpoint, strip_checkpoint)
 from icafusion_tpu.utils.general import colorstr, increment_path
@@ -52,6 +52,45 @@ REFERENCE_RESULTS_KEYS = [
     "x/lr0", "x/lr1", "x/lr2",
     "MR_all", "MR_day", "MR_night", "MR_near", "MR_medium", "MR_far",
     "MR_none", "MR_partial", "MR_heavy", "Recall_all"]
+
+
+def viable_train_scales(model, params, batch_stats, h, w, scales, log):
+    """Drop multi-scale buckets the model cannot run at.
+
+    A TransformerFusionBlock pools each stream to a fixed (vert, horz) anchor
+    grid; when the scaled feature map is smaller than that grid the block has
+    no valid pooling (the reference crashes the same way at runtime — its
+    AdaptivePool2d passes the too-small map through, common.py:874-885, and
+    the fixed-size positional-embedding add then fails). Here each candidate
+    bucket is abstractly traced up front (jax.eval_shape — no compile, no
+    FLOPs) and non-viable buckets are removed with a warning instead of
+    aborting mid-epoch. The base 1.0 bucket is never dropped: if the model
+    cannot run at the configured --img-size, that error should propagate.
+
+    params/batch_stats may be concrete arrays or ShapeDtypeStructs."""
+    keep = []
+    for s in scales:
+        if s == 1.0:
+            keep.append(s)
+            continue
+        nh, nw = scaled_size(h, s), scaled_size(w, s)
+
+        def fwd(p, bs):
+            return model.apply(
+                {"params": p, "batch_stats": bs},
+                jnp.zeros((1, nh, nw, 3), jnp.float32),
+                jnp.zeros((1, nh, nw, 3), jnp.float32),
+                train=True, decode=False,
+                rngs={"dropout": jax.random.PRNGKey(0)},
+                mutable=["batch_stats"])
+
+        try:
+            jax.eval_shape(fwd, params, batch_stats)
+            keep.append(s)
+        except Exception as e:
+            reason = str(e).splitlines()[0] if str(e) else type(e).__name__
+            log(f"multi-scale: dropping x{s} bucket ({nh}x{nw}): {reason}")
+    return tuple(keep)
 
 
 class EpochMeter:
@@ -272,6 +311,10 @@ def fit(cfg: FitConfig) -> dict:
     # random per-batch size (train.py:325-331) — dynamic shapes don't exist
     # under XLA, and each bucket costs one compile of the full step
     scales = (0.75, 0.875, 1.0, 1.125, 1.25) if cfg.multi_scale else (1.0,)
+    if cfg.multi_scale:
+        scales = viable_train_scales(model, state.params, state.batch_stats,
+                                     sample["rgb"].shape[1],
+                                     sample["rgb"].shape[2], scales, log)
     steps = {s: make_step(s) for s in scales}
     step = steps[1.0]
     scale_rng = np.random.default_rng(cfg.seed + 1)

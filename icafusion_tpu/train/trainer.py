@@ -41,6 +41,12 @@ class TrainState(struct.PyTreeNode):
     rng: jax.Array
 
 
+def scaled_size(v: int, scale: float) -> int:
+    """Multi-scale bucket size: round(v*scale) snapped to the stride-32 grid
+    (reference train.py:327-329 random_size // gs * gs semantics)."""
+    return max(round(v * scale / 32), 1) * 32
+
+
 def scaled_gains(hyp: HypConfig, nc: int, nl: int, imgsz: int) -> Tuple[float, float, float]:
     """box/obj/cls gain rescale (reference train.py:238-241)."""
     box = hyp.box * 3.0 / nl
@@ -118,9 +124,9 @@ class Trainer:
             if scale == 1.0:
                 return x
             b, h, w, c = x.shape
-            nh = max(round(h * scale / 32), 1) * 32
-            nw = max(round(w * scale / 32), 1) * 32
-            return jax.image.resize(x, (b, nh, nw, c), method="linear")
+            return jax.image.resize(
+                x, (b, scaled_size(h, scale), scaled_size(w, scale), c),
+                method="linear")
 
         def microbatch_loss(params, batch_stats, rgb, ir, targets, mask, drng):
             rgb = maybe_resize(rgb)

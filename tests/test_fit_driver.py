@@ -195,3 +195,38 @@ def test_fit_reference_results_csv(tmp_path):
             "reference plot_results failed to parse our csv"
     finally:
         sys.path.remove("/root/reference")
+
+
+def test_viable_train_scales_drops_sub_anchor_grid_buckets():
+    """Multi-scale buckets whose scaled P5 map is smaller than a
+    TransformerFusionBlock's fixed anchor grid must be dropped up front
+    (the reference crashes at runtime instead: AdaptivePool2d passes the
+    too-small map through, common.py:874-885, and the positional-embedding
+    add fails). zoo:tfb:n at 320 has a 10x10 P5 anchor grid, so the 0.75
+    (256px -> 8x8) and 0.875 (288px -> 9x9) buckets are non-viable."""
+    import jax
+
+    from icafusion_tpu.cli._common import resolve_model_config
+    from icafusion_tpu.models.assembler import build_model
+    from icafusion_tpu.train.fit import viable_train_scales
+
+    mc = resolve_model_config("zoo:tfb:n", nc=2)
+    model = build_model(mc)
+    rgb = jnp.zeros((1, 320, 320, 3), jnp.float32)
+    av = jax.eval_shape(
+        lambda r: model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            r, r, train=True, decode=False), rgb)
+
+    msgs = []
+    kept = viable_train_scales(model, av["params"], av.get("batch_stats", {}),
+                               320, 320, (0.75, 0.875, 1.0, 1.125, 1.25),
+                               msgs.append)
+    assert kept == (1.0, 1.125, 1.25)
+    assert len(msgs) == 2 and all("anchor grid" in m for m in msgs)
+
+    # at 640 (the flagship geometry) every bucket is viable
+    kept640 = viable_train_scales(model, av["params"], av.get("batch_stats", {}),
+                                  640, 640, (0.75, 0.875, 1.0, 1.125, 1.25),
+                                  msgs.append)
+    assert kept640 == (0.75, 0.875, 1.0, 1.125, 1.25)
