@@ -95,19 +95,53 @@ class DMAF(nn.Module):
         return sub_vis * w_ir, sub_ir * w_vis
 
 
-def adaptive_pool2d(x, out_h: int, out_w: int, pool_type: str = "avg"):
-    """Floor-mode adaptive pooling (common.py:868-891).
-
-    stride = in//out, kernel = in - (out-1)*stride, no padding. Passthrough when the
-    input is already <= target (reference behavior)."""
-    b, h, w, c = x.shape
-    if h <= out_h and w <= out_w:
+def _adaptive_pool_axis(x, axis: int, m: int, pool_type: str):
+    """True torch-adaptive pooling along one axis: output i covers input
+    [floor(i*n/m), ceil((i+1)*n/m)). Exact (m,)-sized output for ANY n,
+    including n < m (windows of size >= 1, shared between outputs)."""
+    import numpy as _np
+    n = x.shape[axis]
+    if n == m:
         return x
-    sh, sw = h // out_h, w // out_w
-    kh, kw = h - (out_h - 1) * sh, w - (out_w - 1) * sw
+    starts = [(i * n) // m for i in range(m)]
+    ends = [-((-(i + 1) * n) // m) for i in range(m)]
     if pool_type == "avg":
-        return nn.avg_pool(x, (kh, kw), strides=(sh, sw), padding="VALID")
-    return nn.max_pool(x, (kh, kw), strides=(sh, sw), padding="VALID")
+        mat = _np.zeros((n, m), _np.float32)
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            mat[s:e, i] = 1.0 / (e - s)
+        y = jnp.moveaxis(x, axis, -1) @ jnp.asarray(mat, x.dtype)
+        return jnp.moveaxis(y, -1, axis)
+    kmax = max(e - s for s, e in zip(starts, ends))
+    # pad each window by repeating its last valid index (harmless under max)
+    idx = _np.asarray([[min(s + j, e - 1) for j in range(kmax)]
+                       for s, e in zip(starts, ends)], _np.int32)
+    g = jnp.take(x, jnp.asarray(idx.reshape(-1)), axis=axis)
+    g = jnp.moveaxis(g, axis, 0).reshape((m, kmax) + g.shape[:axis]
+                                         + g.shape[axis + 1:])
+    return jnp.moveaxis(g.max(axis=1), 0, axis)
+
+
+def adaptive_pool2d(x, out_h: int, out_w: int, pool_type: str = "avg"):
+    """Adaptive pooling to exactly (out_h, out_w).
+
+    When both dims >= target: floor-mode parity with the reference's
+    AdaptivePool2d (common.py:868-891) — stride = in//out,
+    kernel = in - (out-1)*stride, no padding. Otherwise (small/rect feature
+    maps where the reference's floor-mode crashes with stride 0 in torch
+    AvgPool2d) fall back to true torch AdaptiveAvg/MaxPool2d semantics — the
+    reference's own original implementation (common.py:775-776) — which is
+    defined for every geometry."""
+    b, h, w, c = x.shape
+    if h == out_h and w == out_w:
+        return x
+    if h >= out_h and w >= out_w:
+        sh, sw = h // out_h, w // out_w
+        kh, kw = h - (out_h - 1) * sh, w - (out_w - 1) * sw
+        if pool_type == "avg":
+            return nn.avg_pool(x, (kh, kw), strides=(sh, sw), padding="VALID")
+        return nn.max_pool(x, (kh, kw), strides=(sh, sw), padding="VALID")
+    x = _adaptive_pool_axis(x, 1, out_h, pool_type)
+    return _adaptive_pool_axis(x, 2, out_w, pool_type)
 
 
 class _Proj(nn.Module):

@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--cfg", default="zoo:tfb:n")
     ap.add_argument("--imgsz", type=int, default=320)
     ap.add_argument("--batch", type=int, default=8)
+    # soak checkpoints are trained for ~10 epochs on a toy set; the production
+    # 0.25 default would (correctly) filter everything a weak model emits
+    ap.add_argument("--conf", type=float, default=0.01)
     args = ap.parse_args()
 
     import cv2
@@ -51,7 +54,7 @@ def main():
 
     engine = ServingEngine(model=model, variables=variables,
                            img_size=args.imgsz, batch_size=args.batch,
-                           merge_streams="auto")
+                           conf_thres=args.conf, merge_streams="auto")
     print(f"engine: merge_streams={engine.merge_streams}, "
           f"devices={len(jax.devices())}")
     calib = [(np.stack(rgb_b), np.stack(ir_b))]
