@@ -342,7 +342,8 @@ class TransformerFusionBlock(nn.Module):
             m = adaptive_pool2d(x, va, ha, "max")
             y = LearnableWeights(name=coeff_name)(a, m)      # (b, va, ha, c)
             assert y.shape[1] == va and y.shape[2] == ha, (
-                f"TFB input {hh}x{ww} smaller than anchor grid {va}x{ha}")
+                f"adaptive_pool2d produced {y.shape[1:3]} for anchor grid "
+                f"{va}x{ha} (input {hh}x{ww})")
             return y.reshape(b, seq, c) + pos.astype(y.dtype)
 
         vis_flat = pool_flat(vis, "vis_coefficient", pos_vis)

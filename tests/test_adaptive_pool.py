@@ -60,6 +60,31 @@ def test_identity_passthrough():
     assert adaptive_pool2d(x, 10, 10, "avg") is x
 
 
+def test_multiscale_buckets_all_viable_for_tfb():
+    """The pool fallback makes every multi-scale bucket traceable for
+    Transfusion: 0.75*320=224 puts a 7x7 P5 map into the (10,10) grid, which
+    the reference cannot run at all (train.py:325-331 would crash in its
+    AdaptivePool2d). viable_train_scales must now keep the full set."""
+    import jax
+
+    from icafusion_tpu.models import build_model
+    from icafusion_tpu.models.zoo import icafusion_config
+    from icafusion_tpu.train.fit import viable_train_scales
+
+    mc = icafusion_config("n", nc=3, fusion="tfb")
+    model = build_model(mc)
+    variables = jax.eval_shape(
+        lambda: model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 320, 320, 3), jnp.float32),
+                           jnp.zeros((1, 320, 320, 3), jnp.float32),
+                           train=False))
+    scales = (0.75, 0.875, 1.0, 1.125, 1.25)
+    kept = viable_train_scales(model, variables["params"],
+                               variables["batch_stats"], 320, 320, scales,
+                               log=lambda *a, **k: None)
+    assert tuple(kept) == scales
+
+
 @pytest.mark.slow
 def test_tfb_model_forward_rect_geometry():
     """Full zoo:tfb:n forward at the soak's rect val shapes. 224x320 put a
