@@ -35,6 +35,11 @@ def parse_args(argv=None):
     ap.add_argument("--source1", required=True, help="RGB folder/glob")
     ap.add_argument("--source2", required=True, help="IR folder/glob")
     ap.add_argument("--img-size", type=int, default=640)
+    ap.add_argument("--rect", action="store_true",
+                    help="minimal-rectangle letterbox (the reference "
+                         "detect_twostream default, datasets.py:1424): canvas "
+                         "= scaled size rounded up to a stride multiple, "
+                         "batched by canvas shape (one compile per shape)")
     ap.add_argument("--conf-thres", type=float, default=0.25)
     ap.add_argument("--iou-thres", type=float, default=0.45)
     ap.add_argument("--batch-size", type=int, default=8)
@@ -224,6 +229,109 @@ def detect_streams(args, model, variables, names, stale_timeout: float = 30.0):
     return n
 
 
+def _emit_image(args, save_dir, names, stem, origs, pred, shape_info, canvas):
+    """Per-image outputs shared by the square and rect folder paths: scale
+    boxes to native coords, write --save-txt labels (reference format,
+    detect_twostream.py:145-148), --save-crop crops, annotated jpgs."""
+    import cv2
+
+    from icafusion_tpu.eval.evaluator import scale_coords_np
+
+    im0, im1 = origs
+    (h0, w0), ratio_pad = shape_info
+    if len(pred):
+        pred[:, :4] = scale_coords_np(canvas, pred[:, :4], (h0, w0),
+                                      ratio_pad=ratio_pad)
+    if args.save_txt and len(pred):
+        lines = []
+        for x1, y1, x2, y2, s, c in pred:
+            xc, yc = (x1 + x2) / 2 / w0, (y1 + y2) / 2 / h0
+            bw, bh = (x2 - x1) / w0, (y2 - y1) / h0
+            row = f"{int(c)} {xc:g} {yc:g} {bw:g} {bh:g}"
+            lines.append(row + (f" {s:g}" if args.save_conf else ""))
+        (save_dir / f"{stem}.txt").write_text("\n".join(lines) + "\n")
+    if args.save_crop:
+        for x1, y1, x2, y2, conf, cls in pred:
+            save_one_box((x1, y1, x2, y2), im0,
+                         save_dir / "crops" / names[int(cls)] / f"{stem}.jpg")
+    if not args.nosave:
+        for x1, y1, x2, y2, conf, cls in pred:
+            label = _label(names, cls, conf, args)
+            color = COLORS[int(cls) % len(COLORS)]
+            plot_one_box(im0, (x1, y1, x2, y2), label, color,
+                         line_thickness=args.line_thickness)
+            plot_one_box(im1, (x1, y1, x2, y2), label, color,
+                         line_thickness=args.line_thickness)
+        cv2.imwrite(str(save_dir / f"{stem}_rgb.jpg"), im0)
+        cv2.imwrite(str(save_dir / f"{stem}_ir.jpg"), im1)
+    print(f"{stem}: {len(pred)} detections")
+
+
+def detect_folder_rect(args, model, variables, names, files1, files2):
+    """Minimal-rectangle folder inference (the reference detect_twostream
+    default: letterbox auto=True, datasets.py:1424). Each pair letterboxes to
+    its scaled size rounded up to a stride-32 multiple; pairs are batched by
+    canvas shape (lazy buckets flushed when full), so a folder of same-size
+    sources costs ONE compile on a smaller canvas than the --img-size square
+    (512x640 KAIST sources at 640: 20% fewer pixels than 640x640)."""
+    import cv2
+    import jax.numpy as jnp
+
+    from icafusion_tpu.data.augment import letterbox
+    from icafusion_tpu.ops.nms import detections_to_numpy
+
+    S, B = args.img_size, args.batch_size
+    save_dir = Path(args.save_dir)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    infer = _make_infer(model, args)
+
+    buckets = {}  # canvas (h, w) -> list of (stem, im0, im1, rgb_l, ir_l, shape_info)
+    n_done, t_total = 0, 0.0
+
+    def flush(canvas, items):
+        nonlocal n_done, t_total
+        hh, ww = canvas
+        count = len(items)
+        while len(items) < B:
+            items.append(items[-1])
+        rgb_b = np.stack([it[3] for it in items])
+        ir_b = np.stack([it[4] for it in items])
+        t0 = time.time()
+        dets = infer(variables, jnp.asarray(rgb_b), jnp.asarray(ir_b))
+        det_list = detections_to_numpy(dets)
+        dt = time.time() - t0
+        if canvas in compiled:  # first batch per shape pays the compile
+            t_total += dt
+            n_done += count
+        compiled.add(canvas)
+        for slot in range(count):
+            stem, im0, im1, _, _, shape_info = items[slot]
+            _emit_image(args, save_dir, names, stem, (im0, im1),
+                        det_list[slot], shape_info, canvas)
+
+    compiled = set()
+    for f1, f2 in zip(files1, files2):
+        im0 = cv2.imread(f1)
+        im1 = cv2.imread(f2)
+        rgb_l, ratio, pad = letterbox(cv2.cvtColor(im0, cv2.COLOR_BGR2RGB), S,
+                                      scaleup=False, auto=True)
+        ir_l, _, _ = letterbox(cv2.cvtColor(im1, cv2.COLOR_BGR2RGB), S,
+                               scaleup=False, auto=True)
+        canvas = rgb_l.shape[:2]
+        buckets.setdefault(canvas, []).append(
+            (Path(f1).stem, im0, im1, rgb_l, ir_l,
+             (im0.shape[:2], (ratio, pad))))
+        if len(buckets[canvas]) == B:
+            flush(canvas, buckets.pop(canvas))
+    for canvas, items in buckets.items():
+        flush(canvas, items)
+    if n_done:
+        print(f"average: {n_done / t_total:.1f} paired FPS "
+              f"({t_total / n_done * 1e3:.1f} ms/pair incl. host IO, "
+              f"{len(compiled)} canvas shape(s))")
+    print(f"results saved to {save_dir}")
+
+
 def main(argv=None):
     args = parse_args(argv)
     setup_jax()
@@ -249,6 +357,8 @@ def main(argv=None):
     files1 = discover_images(args.source1)
     files2 = discover_images(args.source2)
     assert len(files1) == len(files2), "paired sources must have equal counts"
+    if args.rect:
+        return detect_folder_rect(args, model, variables, names, files1, files2)
     save_dir = Path(args.save_dir)
     save_dir.mkdir(parents=True, exist_ok=True)
     S, B = args.img_size, args.batch_size
@@ -284,40 +394,8 @@ def main(argv=None):
             t_total += dt
             n_done += count
         for slot in range(count):
-            i = idx[slot]
-            pred = det_list[slot]
-            im0, im1 = origs[slot]
-            (h0, w0), ratio_pad = shapes[slot]
-            if len(pred):
-                pred[:, :4] = scale_coords_np((S, S), pred[:, :4], (h0, w0),
-                                              ratio_pad=ratio_pad)
-            stem = Path(files1[i]).stem
-            if args.save_txt and len(pred):
-                # reference label format (detect_twostream.py:145-148):
-                # normalized "cls xc yc w h" (+ conf with --save-conf)
-                lines = []
-                for x1, y1, x2, y2, s, c in pred:
-                    xc, yc = (x1 + x2) / 2 / w0, (y1 + y2) / 2 / h0
-                    bw, bh = (x2 - x1) / w0, (y2 - y1) / h0
-                    row = f"{int(c)} {xc:g} {yc:g} {bw:g} {bh:g}"
-                    lines.append(row + (f" {s:g}" if args.save_conf else ""))
-                (save_dir / f"{stem}.txt").write_text("\n".join(lines) + "\n")
-            if args.save_crop:
-                for x1, y1, x2, y2, conf, cls in pred:
-                    save_one_box((x1, y1, x2, y2), im0,
-                                 save_dir / "crops" / names[int(cls)]
-                                 / f"{stem}.jpg")
-            if not args.nosave:
-                for x1, y1, x2, y2, conf, cls in pred:
-                    label = _label(names, cls, conf, args)
-                    color = COLORS[int(cls) % len(COLORS)]
-                    plot_one_box(im0, (x1, y1, x2, y2), label, color,
-                                 line_thickness=args.line_thickness)
-                    plot_one_box(im1, (x1, y1, x2, y2), label, color,
-                                 line_thickness=args.line_thickness)
-                cv2.imwrite(str(save_dir / f"{stem}_rgb.jpg"), im0)
-                cv2.imwrite(str(save_dir / f"{stem}_ir.jpg"), im1)
-            print(f"{stem}: {len(pred)} detections")
+            _emit_image(args, save_dir, names, Path(files1[idx[slot]]).stem,
+                        origs[slot], det_list[slot], shapes[slot], (S, S))
     if n_done:
         print(f"average: {n_done / t_total:.1f} paired FPS "
               f"({t_total / n_done * 1e3:.1f} ms/pair incl. host IO)")

@@ -44,9 +44,15 @@ def xyxy2xywhn(x, w, h):
     return y
 
 
-def letterbox(img, new_shape=640, color=(114, 114, 114), scaleup=True):
+def letterbox(img, new_shape=640, color=(114, 114, 114), scaleup=True,
+              auto=False, stride=32):
     """Aspect-preserving resize + center pad to exactly new_shape
-    (datasets.py:1404-1444, auto=False path incl. the +-0.1 rounding rule)."""
+    (datasets.py:1404-1444, auto=False path incl. the +-0.1 rounding rule).
+
+    auto=True is the reference's minimal-rectangle mode (datasets.py:1424:
+    pad = pad mod stride): the canvas is the scaled size rounded UP to the
+    next stride multiple instead of the full new_shape square — less gray
+    padding, less compute. Requires new_shape divisible by stride."""
     shape = img.shape[:2]
     if isinstance(new_shape, int):
         new_shape = (new_shape, new_shape)
@@ -55,8 +61,10 @@ def letterbox(img, new_shape=640, color=(114, 114, 114), scaleup=True):
         r = min(r, 1.0)
     ratio = (r, r)
     new_unpad = (int(round(shape[1] * r)), int(round(shape[0] * r)))
-    dw = (new_shape[1] - new_unpad[0]) / 2
-    dh = (new_shape[0] - new_unpad[1]) / 2
+    pw, ph = new_shape[1] - new_unpad[0], new_shape[0] - new_unpad[1]
+    if auto:
+        pw, ph = pw % stride, ph % stride
+    dw, dh = pw / 2, ph / 2
     if shape[::-1] != new_unpad:
         img = cv2.resize(img, new_unpad, interpolation=cv2.INTER_LINEAR)
     top, bottom = int(round(dh - 0.1)), int(round(dh + 0.1))

@@ -220,3 +220,57 @@ def test_detect_folder_cli_flags(tmp_path):
     assert (vals[:, 1:5] >= -1e-6).all() and (vals[:, 1:5] <= 1 + 1e-6).all()
     assert list(out.glob("crops/*/*.jpg")), "--save-crop output missing"
     assert (out / "a_rgb.jpg").exists() and (out / "a_ir.jpg").exists()
+
+
+def test_detect_folder_rect_buckets(tmp_path, capsys):
+    """--rect detect (reference detect_twostream's letterbox auto=True
+    default, datasets.py:1424): sources of two aspect ratios land in two
+    canvas-shape buckets, each batched/compiled separately; labels stay
+    normalized to native coords."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from icafusion_tpu.cli.detect import main
+    from icafusion_tpu.models import build_model
+    from icafusion_tpu.models.zoo import tiny_icafusion_config
+
+    vis, ir = tmp_path / "vis", tmp_path / "ir"
+    vis.mkdir(), ir.mkdir()
+    rng = np.random.default_rng(0)
+    # 3 landscape (96x128 -> 48x64 canvas) + 2 portrait (128x96 -> 64x48)
+    for stem, hw in (("a", (96, 128)), ("b", (96, 128)), ("c", (96, 128)),
+                     ("d", (128, 96)), ("e", (128, 96))):
+        for d in (vis, ir):
+            cv2.imwrite(str(d / f"{stem}.jpg"),
+                        rng.integers(0, 255, (*hw, 3), np.uint8))
+
+    mc = tiny_icafusion_config(nc=3)
+    model = build_model(mc, dtype=jnp.float32)
+    variables = jax.jit(model.init, static_argnames=("train", "decode"))(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)),
+        train=False, decode=False)
+    ckpt = tmp_path / "w.ckpt"
+    ckpt.write_bytes(serialization.msgpack_serialize({
+        "params": jax.device_get(variables["params"]),
+        "batch_stats": jax.device_get(variables.get("batch_stats", {})),
+        "meta": {"epoch": 0, "best_fitness": 0.0}}))
+
+    out = tmp_path / "out"
+    # img-size 128: 96x128 sources keep r=1 (scaleup=False) -> 96x128 canvas,
+    # portrait -> 128x96; at 64 the stride-32 round-up would collapse both
+    main(["--weights", str(ckpt), "--cfg", "zoo:tiny",
+          "--source1", str(vis), "--source2", str(ir),
+          "--img-size", "128", "--batch-size", "2", "--conf-thres", "0.001",
+          "--rect", "--save-dir", str(out), "--save-txt", "--nosave"])
+
+    assert "2 canvas shape(s)" in capsys.readouterr().out
+    txts = sorted(out.glob("*.txt"))
+    assert {t.stem for t in txts} <= {"a", "b", "c", "d", "e"} and txts
+    for t in txts:
+        vals = np.array([l.split() for l in t.read_text().split("\n") if l],
+                        np.float32)
+        assert vals.shape[1] == 5
+        assert (vals[:, 1:] >= -1e-6).all() and (vals[:, 1:] <= 1 + 1e-6).all()
