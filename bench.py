@@ -35,7 +35,11 @@ A100_FP16_PAIRED_FPS_EST = 90.0
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", default="l", choices=["n", "s", "m", "l", "x"])
-    ap.add_argument("--imgsz", type=int, default=640)
+    ap.add_argument("--imgsz", default="640", metavar="S|HxW",
+                    help="square size (640) or rect canvas HxW (512x640 — "
+                         "the KAIST-native minimal-rectangle geometry that "
+                         "cli/detect --rect / cli/val --rect serve; 20% fewer "
+                         "pixels than the 640 square)")
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=5)
@@ -68,6 +72,10 @@ def main():
                          "convert/layout copy — MFU experiment)")
     args = ap.parse_args()
 
+    h, w = ([int(v) for v in args.imgsz.split("x")] * 2)[:2]
+    assert h % 32 == 0 and w % 32 == 0, "--imgsz must be stride-32 multiples"
+    args.imgsz = (h, w)
+
     if args.fp32:
         args.int8 = False  # --fp32 means an unquantized fp32 baseline
 
@@ -83,7 +91,7 @@ def main():
     model = build_model(cfg, dtype=dtype)
 
     rng = jax.random.PRNGKey(0)
-    shape = (args.batch, args.imgsz, args.imgsz, 3)
+    shape = (args.batch, *args.imgsz, 3)
     rgb = jax.random.uniform(rng, shape, jnp.float32)
     ir = jax.random.uniform(jax.random.PRNGKey(1), shape, jnp.float32)
 
@@ -156,8 +164,8 @@ def main():
     print(f"{dt*1e3:.2f} ms/batch @ b{args.batch}", file=sys.stderr)
 
     print(json.dumps({
-        "metric": f"icafusion_{args.scale} paired {args.imgsz}x{args.imgsz} "
-                  "serving throughput "
+        "metric": f"icafusion_{args.scale} paired "
+                  f"{args.imgsz[0]}x{args.imgsz[1]} serving throughput "
                   f"(two-stream fwd + decode + NMS, {mode}, batch {args.batch}); "
                   "vs_baseline uses an ESTIMATED A100-FP16 ~90 paired fps "
                   "(derived, not measured — see BENCH.md)",
@@ -187,10 +195,10 @@ def bench_train(args):
     from icafusion_tpu.utils.stream_merge import resolve_merge
     merge = resolve_merge(args.merge, cfg) if args.merge is not None else 0
     tr = Trainer(model=model, hyp=hyp, epochs=60, steps_per_epoch=100,
-                 batch_size=B, imgsz=args.imgsz)
+                 batch_size=B, imgsz=max(args.imgsz))
     rng = jax.random.PRNGKey(0)
     in_dtype = jnp.bfloat16 if args.input_dtype == "bf16" else jnp.float32
-    rgb = jax.random.uniform(rng, (B, args.imgsz, args.imgsz, 3)).astype(in_dtype)
+    rgb = jax.random.uniform(rng, (B, *args.imgsz, 3)).astype(in_dtype)
     ir = jax.random.uniform(jax.random.PRNGKey(1), rgb.shape).astype(in_dtype)
     t, m = pad_targets([np.array([[0, 0.5, 0.5, 0.3, 0.3]], np.float32)] * B, 64)
     t, m = jnp.asarray(t), jnp.asarray(m)
@@ -228,7 +236,8 @@ def bench_train(args):
               file=sys.stderr)
     ips = B / dt
     print(json.dumps({
-        "metric": f"icafusion_{args.scale} paired {args.imgsz} training step "
+        "metric": f"icafusion_{args.scale} paired "
+                  f"{args.imgsz[0]}x{args.imgsz[1]} training step "
                   f"(fwd+bwd+loss+SGD+EMA, {'fp32' if args.fp32 else 'bf16'}"
                   f"{f'+merge{merge}' if merge else ''}, "
                   f"batch {B}, device-resident inputs); vs_baseline uses an "
