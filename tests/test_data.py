@@ -63,6 +63,28 @@ def test_letterbox_geometry():
     assert r2 == (1.0, 1.0) and out2.shape == (640, 640, 3)
 
 
+def test_letterbox_auto_rect():
+    """auto=True = the reference's minimal-rectangle rule (datasets.py:1424,
+    pad = pad mod stride): canvas is the scaled size rounded up to the next
+    stride multiple, never the full square."""
+    # 500x640 at 640: r=1, ph=140 -> 140 mod 32 = 12 -> 512x640 canvas
+    img = np.full((500, 640, 3), 200, np.uint8)
+    out, ratio, (dw, dh) = letterbox(img, 640, auto=True)
+    assert out.shape == (512, 640, 3) and ratio == (1.0, 1.0)
+    assert (dw, dh) == (0.0, 6.0)
+    assert (out[6:506] == 200).all()          # image content centered
+    assert (out[:6] == 114).all() and (out[506:] == 114).all()
+    # exact stride multiple after scaling: zero pad, no square blow-up
+    out2, r2, p2 = letterbox(np.zeros((960, 1280, 3), np.uint8), 640, auto=True)
+    assert out2.shape == (480, 640, 3) and r2 == (0.5, 0.5) and p2 == (0, 0)
+    # scaleup=False small image: canvas hugs the source, rounded up to 32
+    out3, r3, _ = letterbox(np.zeros((100, 200, 3), np.uint8), 640,
+                            scaleup=False, auto=True)
+    assert out3.shape == (128, 224, 3) and r3 == (1.0, 1.0)
+    for o in (out, out2, out3):
+        assert o.shape[0] % 32 == 0 and o.shape[1] % 32 == 0
+
+
 def test_box_roundtrip():
     rng = np.random.default_rng(0)
     xywh = np.stack([rng.uniform(0.3, 0.7, 10), rng.uniform(0.3, 0.7, 10),
