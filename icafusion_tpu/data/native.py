@@ -39,10 +39,14 @@ def _load():
         lib = ctypes.CDLL(str(_LIB_PATH))
     except OSError:
         return None
+    # a stale .so whose rebuild failed must not be bound with the new argument
+    # layout — require the ABI the bindings below were written against
+    if not hasattr(lib, "icaf_abi_version") or lib.icaf_abi_version() < 2:
+        return None
     lib.icaf_decode_letterbox_batch.restype = ctypes.c_int
     lib.icaf_decode_letterbox_batch.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
-        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_int), ctypes.c_int,
@@ -56,9 +60,11 @@ def available() -> bool:
 
 
 def decode_letterbox_batch(rgb_paths: List[str], ir_paths: List[str],
-                           img_size: int, scaleup: bool = False,
+                           img_size, scaleup: bool = False,
                            n_threads: int = None):
-    """-> (rgb (n,S,S,3) u8, ir, ratios (n,2), pads (n,2), orig_hw (n,2)).
+    """-> (rgb (n,H,W,3) u8, ir, ratios (n,2), pads (n,2), orig_hw (n,2)).
+    img_size: square int or (H, W) rect canvas (the minimal-rectangle serving
+    geometry — cli/detect --rect, ServingEngine(img_size=(512, 640))).
     JPEG-only fast path; raises RuntimeError if the library is unavailable.
     n_threads defaults to min(8, cpu_count) — oversubscribing a small host
     measurably thrashes (BENCH.md)."""
@@ -68,16 +74,17 @@ def decode_letterbox_batch(rgb_paths: List[str], ir_paths: List[str],
     lib = _load()
     if lib is None:
         raise RuntimeError("native host library unavailable; run native/build.sh")
-    n, S = len(rgb_paths), img_size
-    rgb = np.empty((n, S, S, 3), np.uint8)
-    ir = np.empty((n, S, S, 3), np.uint8)
+    n = len(rgb_paths)
+    H, W = (img_size, img_size) if isinstance(img_size, int) else img_size
+    rgb = np.empty((n, H, W, 3), np.uint8)
+    ir = np.empty((n, H, W, 3), np.uint8)
     ratios = np.empty((n, 2), np.float32)
     pads = np.empty((n, 2), np.float32)
     hw = np.zeros((n, 2), np.int32)
     c_rgb = (ctypes.c_char_p * n)(*[p.encode() for p in rgb_paths])
     c_ir = (ctypes.c_char_p * n)(*[p.encode() for p in ir_paths])
     ok = lib.icaf_decode_letterbox_batch(
-        c_rgb, c_ir, n, S, int(scaleup),
+        c_rgb, c_ir, n, H, W, int(scaleup),
         rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         ir.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         ratios.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

@@ -31,7 +31,9 @@ from icafusion_tpu.parallel.mesh import make_mesh
 class ServingEngine:
     model: "ICAFusionModel"          # noqa: F821
     variables: dict
-    img_size: int = 640
+    img_size: Any = 640   # square int, or (H, W) rect canvas — the
+    # minimal-rectangle serving geometry (KAIST-native 512x640 measured 1.20x
+    # the 640 square, BENCH.md round-4 rect table)
     batch_size: int = 32
     conf_thres: float = 0.25
     iou_thres: float = 0.45
@@ -45,6 +47,9 @@ class ServingEngine:
     # prefix — measured +7-9% serving throughput on-chip (BENCH.md round 3).
 
     def __post_init__(self):
+        self.canvas = ((self.img_size, self.img_size)
+                       if isinstance(self.img_size, int)
+                       else tuple(self.img_size))
         from icafusion_tpu.utils.stream_merge import resolve_merge
         self.merge_streams = resolve_merge(self.merge_streams, self.model.cfg)
         if self.merge_streams:
@@ -55,7 +60,15 @@ class ServingEngine:
                 pairs=self.merge_streams)
             self.model = build_model(self.model.cfg, dtype=self.model.dtype,
                                      merge_pairs=self.merge_streams)
-        self.mesh = make_mesh(self.n_devices)
+        # default mesh: the largest device prefix the batch shards evenly
+        # over — an explicit n_devices is honored (and must divide the batch),
+        # but the default must not crash a batch_size=1 latency engine on a
+        # multi-chip host just because devices exist
+        n_dev = self.n_devices
+        if n_dev is None:
+            import math
+            n_dev = math.gcd(self.batch_size, jax.device_count())
+        self.mesh = make_mesh(n_dev)
         repl = NamedSharding(self.mesh, P())
         data = NamedSharding(self.mesh, P("data"))
         self._data_sharding = data
@@ -74,8 +87,8 @@ class ServingEngine:
                               out_shardings=data)
 
     def warmup(self):
-        S, B = self.img_size, self.batch_size
-        z = np.zeros((B, S, S, 3), np.uint8)
+        (H, W), B = self.canvas, self.batch_size
+        z = np.zeros((B, H, W, 3), np.uint8)
         jax.block_until_ready(self._serve(self.variables, z, z))
 
     def quantize(self, calib_pairs: Sequence) -> None:
@@ -97,13 +110,13 @@ class ServingEngine:
 
     def predict_arrays(self, rgb: np.ndarray, ir: np.ndarray,
                        orig_hw: Optional[Sequence] = None) -> List[np.ndarray]:
-        """rgb/ir: (n, S, S, 3) uint8 letterboxed pairs (n <= batch_size). Returns
-        per-image (k, 6) [x1,y1,x2,y2,conf,cls] in letterboxed (or native, if
-        orig_hw given) coordinates."""
+        """rgb/ir: (n, H, W, 3) uint8 letterboxed pairs (n <= batch_size) on
+        this engine's canvas. Returns per-image (k, 6) [x1,y1,x2,y2,conf,cls]
+        in letterboxed (or native, if orig_hw given) coordinates."""
         n = rgb.shape[0]
-        B, S = self.batch_size, self.img_size
+        B, (H, W) = self.batch_size, self.canvas
         if n < B:
-            pad = np.zeros((B - n, S, S, 3), np.uint8)
+            pad = np.zeros((B - n, H, W, 3), np.uint8)
             rgb = np.concatenate([rgb, pad])
             ir = np.concatenate([ir, pad])
         dets = self._serve(self.variables,
@@ -113,7 +126,7 @@ class ServingEngine:
         if orig_hw is not None:
             for i, (h0, w0) in enumerate(orig_hw[:n]):
                 if len(out[i]):
-                    out[i][:, :4] = scale_coords_np((S, S), out[i][:, :4], (h0, w0))
+                    out[i][:, :4] = scale_coords_np((H, W), out[i][:, :4], (h0, w0))
         return out
 
     def predict_paths(self, rgb_paths: List[str], ir_paths: List[str],
@@ -128,16 +141,16 @@ class ServingEngine:
             rp = rgb_paths[start:start + B]
             ip = ir_paths[start:start + B]
             rgb, ir, ratios, pads, hw = native.decode_letterbox_batch(
-                rp, ip, self.img_size, scaleup=True, n_threads=n_threads)
+                rp, ip, self.canvas, scaleup=True, n_threads=n_threads)
             outs.extend(self.predict_arrays(rgb, ir, orig_hw=hw.tolist()))
         return outs
 
     def throughput(self, iters: int = 20) -> float:
         """Steady-state paired frames/sec (chained-dependency timing)."""
         import time
-        S, B = self.img_size, self.batch_size
-        rgb = np.random.default_rng(0).integers(0, 255, (B, S, S, 3), np.uint8)
-        ir = np.random.default_rng(1).integers(0, 255, (B, S, S, 3), np.uint8)
+        (H, W), B = self.canvas, self.batch_size
+        rgb = np.random.default_rng(0).integers(0, 255, (B, H, W, 3), np.uint8)
+        ir = np.random.default_rng(1).integers(0, 255, (B, H, W, 3), np.uint8)
         d = self._serve(self.variables, rgb, ir)
         float(d.scores.sum())
         t0 = time.time()

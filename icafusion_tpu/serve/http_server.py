@@ -64,7 +64,10 @@ def main(argv=None):
     ap = argparse.ArgumentParser("icafusion-serve")
     ap.add_argument("--weights", required=True)
     ap.add_argument("--cfg", required=True)
-    ap.add_argument("--img-size", type=int, default=640)
+    ap.add_argument("--img-size", default="640", metavar="S|HxW",
+                    help="square size or HxW rect canvas (512x640 = the "
+                         "KAIST-native minimal-rectangle geometry, 1.20x the "
+                         "square on-chip — BENCH.md round-4 rect table)")
     ap.add_argument("--port", type=int, default=5000)
     ap.add_argument("--batch-size", type=int, default=1)
     ap.add_argument("--names", nargs="*", default=None)
@@ -84,6 +87,8 @@ def main(argv=None):
                          "(utils/stream_merge.py; identical outputs); 'auto' merges "
                          "exactly the lane-starved prefix")
     args = ap.parse_args(argv)
+    hw = [int(v) for v in str(args.img_size).split("x")]
+    args.img_size = hw[0] if len(hw) == 1 else tuple(hw)
 
     from icafusion_tpu.cli._common import load_model_for_inference, setup_jax
     from icafusion_tpu.serve.engine import ServingEngine
@@ -117,9 +122,10 @@ def main(argv=None):
             print(f"int8: calibrating on {len(pairs)} real pairs")
         else:
             rng = np.random.default_rng(0)
-            calib = [(rng.integers(0, 255, (args.batch_size, S, S, 3),
+            H, W = (S, S) if isinstance(S, int) else S
+            calib = [(rng.integers(0, 255, (args.batch_size, H, W, 3),
                                    np.uint8),
-                      rng.integers(0, 255, (args.batch_size, S, S, 3),
+                      rng.integers(0, 255, (args.batch_size, H, W, 3),
                                    np.uint8))]
             print("int8: WARNING — noise calibration (no --calib-rgb/ir); "
                   "per-channel activation scales will not match real "

@@ -102,20 +102,22 @@ void resize_bilinear(const uint8_t* src, int sw, int sh, uint8_t* dst, int dw,
   }
 }
 
-// Letterbox one decoded image into out (S*S*3), pad value 114.
+// Letterbox one decoded image into out (SH*SW*3), pad value 114. The canvas
+// may be rectangular (SH != SW) — the minimal-rectangle serving geometry.
 // ratio/pad written for coordinate rescaling (dw, dh are half-pads).
-bool letterbox_into(const std::vector<uint8_t>& img, int w, int h, int S,
-                    int scaleup, uint8_t* out, float* ratio, float* pad) {
-  float r = std::min(static_cast<float>(S) / h, static_cast<float>(S) / w);
+bool letterbox_into(const std::vector<uint8_t>& img, int w, int h, int SH,
+                    int SW, int scaleup, uint8_t* out, float* ratio,
+                    float* pad) {
+  float r = std::min(static_cast<float>(SH) / h, static_cast<float>(SW) / w);
   if (!scaleup) r = std::min(r, 1.0f);
   int nw = static_cast<int>(std::lround(w * r));
   int nh = static_cast<int>(std::lround(h * r));
-  float dw = (S - nw) / 2.0f;
-  float dh = (S - nh) / 2.0f;
+  float dw = (SW - nw) / 2.0f;
+  float dh = (SH - nh) / 2.0f;
   int top = static_cast<int>(std::lround(dh - 0.1f));
   int left = static_cast<int>(std::lround(dw - 0.1f));
 
-  std::memset(out, 114, static_cast<size_t>(S) * S * 3);
+  std::memset(out, 114, static_cast<size_t>(SH) * SW * 3);
   std::vector<uint8_t> resized;
   const uint8_t* src = img.data();
   if (nw != w || nh != h) {
@@ -124,7 +126,7 @@ bool letterbox_into(const std::vector<uint8_t>& img, int w, int h, int S,
     src = resized.data();
   }
   for (int y = 0; y < nh; ++y) {
-    std::memcpy(out + (static_cast<size_t>(y + top) * S + left) * 3,
+    std::memcpy(out + (static_cast<size_t>(y + top) * SW + left) * 3,
                 src + static_cast<size_t>(y) * nw * 3,
                 static_cast<size_t>(nw) * 3);
   }
@@ -139,40 +141,48 @@ bool letterbox_into(const std::vector<uint8_t>& img, int w, int h, int S,
 
 extern "C" {
 
-// Fill out_rgb/out_ir (n, S, S, 3) uint8 with letterboxed pairs.
+// Bumped when the exported signatures change; icafusion_tpu/data/native.py
+// refuses to bind an .so reporting an older ABI (a stale binary whose rebuild
+// failed would otherwise be called with the wrong argument layout).
+int icaf_abi_version() { return 2; }
+
+// Fill out_rgb/out_ir (n, SH, SW, 3) uint8 with letterboxed pairs; the canvas
+// may be rectangular (SH != SW — minimal-rectangle serving geometry).
 // ratios: (n, 2), pads: (n, 2), orig_hw: (n, 2). Returns the number of
 // successfully decoded pairs; failed slots are left gray with orig_hw = 0.
 int icaf_decode_letterbox_batch(const char** rgb_paths, const char** ir_paths,
-                                int n, int S, int scaleup, uint8_t* out_rgb,
-                                uint8_t* out_ir, float* ratios, float* pads,
-                                int* orig_hw, int n_threads) {
+                                int n, int SH, int SW, int scaleup,
+                                uint8_t* out_rgb, uint8_t* out_ir,
+                                float* ratios, float* pads, int* orig_hw,
+                                int n_threads) {
   std::atomic<int> ok_count{0};
   std::atomic<int> next{0};
+  const size_t canvas = static_cast<size_t>(SH) * SW * 3;
   auto worker = [&]() {
     std::vector<uint8_t> buf_rgb, buf_ir;
     for (;;) {
       int i = next.fetch_add(1);
       if (i >= n) break;
-      uint8_t* orgb = out_rgb + static_cast<size_t>(i) * S * S * 3;
-      uint8_t* oir = out_ir + static_cast<size_t>(i) * S * S * 3;
+      uint8_t* orgb = out_rgb + static_cast<size_t>(i) * canvas;
+      uint8_t* oir = out_ir + static_cast<size_t>(i) * canvas;
       int w0, h0, w1, h1;
       bool ok = decode_jpeg(rgb_paths[i], buf_rgb, w0, h0) &&
                 decode_jpeg(ir_paths[i], buf_ir, w1, h1);
       if (!ok) {
-        std::memset(orgb, 114, static_cast<size_t>(S) * S * 3);
-        std::memset(oir, 114, static_cast<size_t>(S) * S * 3);
+        std::memset(orgb, 114, canvas);
+        std::memset(oir, 114, canvas);
         ratios[i * 2] = ratios[i * 2 + 1] = 1.0f;
         pads[i * 2] = pads[i * 2 + 1] = 0.0f;
         orig_hw[i * 2] = orig_hw[i * 2 + 1] = 0;
         continue;
       }
-      letterbox_into(buf_rgb, w0, h0, S, scaleup, orgb, ratios + i * 2,
+      letterbox_into(buf_rgb, w0, h0, SH, SW, scaleup, orgb, ratios + i * 2,
                      pads + i * 2);
       // callers rescale boxes with the RGB stream's ratio/pad against the RGB
       // orig_hw; the IR letterbox must not clobber those slots when the pair
       // differs in resolution, so it writes to scratch
       float ir_ratio[2], ir_pad[2];
-      letterbox_into(buf_ir, w1, h1, S, scaleup, oir, ir_ratio, ir_pad);
+      letterbox_into(buf_ir, w1, h1, SH, SW, scaleup, oir, ir_ratio, ir_pad);
       orig_hw[i * 2] = h0;
       orig_hw[i * 2 + 1] = w0;
       ok_count.fetch_add(1);

@@ -36,6 +36,28 @@ def test_serving_engine_sharded_over_8_devices(tiny_model):
     assert all(o.ndim == 2 and o.shape[1] == 6 for o in out)
 
 
+def test_serving_engine_rect_canvas(tiny_model):
+    """img_size=(H, W): the engine serves the minimal-rectangle geometry the
+    rect CLIs use (BENCH.md round-4: 512x640 measured 1.20x the square) —
+    detections come back in native coords via the rect letterbox inverse."""
+    from icafusion_tpu.serve.engine import ServingEngine
+    model, variables = tiny_model
+    eng = ServingEngine(model=model, variables=dict(variables),
+                        img_size=(64, 96), batch_size=8, n_devices=8,
+                        conf_thres=0.001)
+    assert eng.canvas == (64, 96)
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 255, (3, 64, 96, 3), dtype=np.uint8)
+    ir = rng.integers(0, 255, (3, 64, 96, 3), dtype=np.uint8)
+    out = eng.predict_arrays(rgb, ir, orig_hw=[(128, 192)] * 3)
+    assert len(out) == 3
+    for o in out:
+        assert o.ndim == 2 and o.shape[1] == 6
+        if len(o):  # rescaled to the 128x192 native frame, not the canvas
+            assert (o[:, [0, 2]] <= 192 + 1e-3).all()
+            assert (o[:, [1, 3]] <= 128 + 1e-3).all()
+
+
 def test_evaluator_sharded_over_8_devices(tiny_model):
     from icafusion_tpu.eval.evaluator import Evaluator
     model, variables = tiny_model

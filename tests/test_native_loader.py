@@ -45,6 +45,29 @@ def test_native_matches_cv2(jpeg_pair):
     assert (diff <= 25).mean() > 0.99
 
 
+def test_native_rect_canvas(jpeg_pair):
+    """(H, W) canvas: the minimal-rectangle serving geometry. 480x640 source
+    onto a 256x320 canvas: r = min(256/480, 320/640) = 0.5, so the scaled
+    240x320 image pads only 8 gray rows top and bottom — vs 40 rows on the
+    320 square (test above). Must match the cv2 letterbox exactly."""
+    import cv2
+    if not native.available():
+        pytest.skip("native library not built")
+    p1, p2 = jpeg_pair
+    rgb, ir, ratios, pads, hw = native.decode_letterbox_batch(
+        [p1], [p2], (256, 320), scaleup=False)
+    assert rgb.shape == (1, 256, 320, 3) and tuple(hw[0]) == (480, 640)
+    np.testing.assert_allclose(ratios[0], [0.5, 0.5])
+    np.testing.assert_allclose(pads[0], [0.0, 8.0])
+    assert (rgb[0][:8] == 114).all() and (rgb[0][-8:] == 114).all()
+    assert not (rgb[0][128] == 114).all()  # image content mid-canvas
+
+    ref_img = cv2.cvtColor(cv2.imread(p1), cv2.COLOR_BGR2RGB)
+    ref_lb, _, _ = letterbox(ref_img, (256, 320), scaleup=False)
+    diff = np.abs(rgb[0].astype(int) - ref_lb.astype(int))
+    assert diff.mean() < 3.0, f"mean abs diff {diff.mean()}"
+
+
 def test_native_missing_file_error(jpeg_pair):
     if not native.available():
         pytest.skip("native library not built")
