@@ -50,6 +50,16 @@ TORCH_CONV_INIT = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform
 # (ICAF_STEM_S2D=1 enables it, e.g. for train-side measurement).
 STEM_S2D_ENABLED = _os.environ.get("ICAF_STEM_S2D", "0") == "1"
 
+# Opt-in phase-packed int8 stem (see Conv._phase_packed_stem). The int8 stem
+# (6x6/s2, Cin=3 or 6 merged) is the profile's single largest op: 3.5 ms at
+# ~26% utilization on b32@640 (round-4 int8+merge profile) because XLA pads
+# the 108/216-deep contraction to the 128-lane MXU width. The rewrite packs
+# 4x4 input phases into channels (contraction 16*Cin >= 96) and 2x2 output
+# phases into output channels, trading 1.78x zero-fill FLOPs for full-depth
+# MXU feeds. Exact integer arithmetic (same int32 accumulation). Off by
+# default pending measurement (ICAF_STEM_PP=1 enables).
+STEM_PP_ENABLED = _os.environ.get("ICAF_STEM_PP", "0") == "1"
+
 
 def torch_bias_init(fan_in: int):
     """torch's U(-1/sqrt(fan_in), 1/sqrt(fan_in)) bias init."""
@@ -155,11 +165,65 @@ class Conv(nn.Module):
         s_in = self.get_variable("quant", "s_in")    # (c1,) or () f32
         x8 = jnp.clip(jnp.round(x.astype(jnp.float32) / s_in),
                       -127, 127).astype(jnp.int8)
+        if (STEM_PP_ENABLED and _pair(self.k) == (6, 6) and s == (2, 2)
+                and p == (2, 2) and self.g == 1
+                and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0):
+            return self._phase_packed_stem(x8, w8, s_w)
         y = jax.lax.conv_general_dilated(
             x8, w8, s, [(p[0], p[0]), (p[1], p[1])],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=self.g, preferred_element_type=jnp.int32)
         return y.astype(self.dtype) * s_w.astype(self.dtype)
+
+    def _phase_packed_stem(self, x8, w8, s_w):
+        """Exact phase-packed rewrite of the int8 6x6/s2/p2 stem conv.
+
+        Input rows/cols are grouped 4 at a time into channels (s2d by 4 — the
+        [H,W,C] -> [H/4,W/4,16C] reshapes are free along the minormost dim),
+        turning the conv into a 2x2/s1 conv with contraction depth 16*Cin
+        (>= 96, near the 128-lane MXU width, vs the direct form's Cin=3/6
+        which XLA pads 21x/10x). Each output block holds 2x2 output phases
+        packed into channels; the packed kernel zero-fills the tap positions
+        a phase never reads (56% density -> 1.78x extra FLOPs, repaid by the
+        ~5x better lane utilization). Same int8 x int8 -> int32 accumulation,
+        bit-exact vs the direct lowering (tests/test_layers_stem.py)."""
+        B, H, W, C = x8.shape
+        Co = w8.shape[-1]
+        # the conv's own padding 2 makes the padded extent H+4, a multiple of
+        # 4, and VALID over H/4+1 blocks yields exactly H/4 output blocks
+        xp = jnp.pad(x8, ((0, 0), (2, 2), (2, 2), (0, 0)))
+        nb, mb = (H + 4) // 4, (W + 4) // 4
+        xpp = xp.reshape(B, nb, 4, mb, 4, C)
+        xpp = xpp.transpose(0, 1, 3, 2, 4, 5).reshape(B, nb, mb, 16 * C)
+        # packed kernel: output (oy,ox) = block (by,bx) + phase (ry,rx) reads
+        # input row 4*(by+kyp) + qy where the original tap ky = 4*kyp+qy-2*ry
+        wpp = jnp.zeros((2, 2, 16 * C, 4 * Co), w8.dtype)
+        for ry in range(2):
+            for qy in range(4):
+                for kyp in range(2):
+                    ky = 4 * kyp + qy - 2 * ry
+                    if not 0 <= ky < 6:
+                        continue
+                    for rx in range(2):
+                        for qx in range(4):
+                            for kxp in range(2):
+                                kx = 4 * kxp + qx - 2 * rx
+                                if not 0 <= kx < 6:
+                                    continue
+                                ci = (qy * 4 + qx) * C
+                                co = (ry * 2 + rx) * Co
+                                wpp = wpp.at[kyp, kxp, ci:ci + C,
+                                             co:co + Co].set(w8[ky, kx])
+        y = jax.lax.conv_general_dilated(
+            xpp, wpp, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        # dequantize on the packed layout (channel = (ry,rx,co), so s_w tiles),
+        # then unpack the 2x2 output phases back to spatial
+        y = y.astype(self.dtype) * jnp.tile(s_w, 4).astype(self.dtype)
+        y = y.reshape(B, H // 4, W // 4, 2, 2, Co)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, Co)
+        return y
 
     def _stem_s2d(self, x):
         w = _Kernel((6, 6, 3, self.c2), name="conv")().astype(self.dtype)
