@@ -66,6 +66,19 @@ def main():
                          "int8 path (appended to the detect-feeder default) — "
                          "quantization-surgery experiments, e.g. the merged "
                          "stem pair")
+    ap.add_argument("--int8-dense", action="store_true",
+                    help="also quantize the fusion transformer's Dense "
+                         "weights (weight-only int8; quantize_variables "
+                         "fusion_dense) — halves the HBM traffic of the "
+                         "weight-bound fusion matmuls IF XLA fuses the "
+                         "dequant into the dot operand (experiment)")
+    ap.add_argument("--inflight", type=int, default=1, metavar="N",
+                    help="number of batches in flight (serving only): batch i "
+                         "chains on batch i-N's output, so the runtime can "
+                         "overlap dispatch with device compute like a real "
+                         "serving pipeline; 1 (default) is the strictly "
+                         "serial protocol used for round-over-round "
+                         "comparability")
     ap.add_argument("--input-dtype", default="f32", choices=["f32", "bf16"],
                     help="--train only: dtype of the device-resident image "
                          "batch (bf16 removes the in-step f32->bf16 "
@@ -125,10 +138,13 @@ def main():
         if args.int8_skip:
             skip = skip + tuple(s for s in args.int8_skip.split(",") if s)
             print(f"int8 skip: {skip}", file=sys.stderr)
-        variables = quantize_variables(variables, calib, skip=skip)
+        variables = quantize_variables(variables, calib, skip=skip,
+                                       fusion_dense=args.int8_dense)
         print(f"int8 calibration+quantize {time.time()-t0:.0f}s",
               file=sys.stderr)
         mode = "int8-W8A8" + (f"+merge{merge}" if merge else "")
+        if args.int8_dense:
+            mode += "+dense"
 
     @jax.jit
     def serve(v, a, b):
@@ -149,15 +165,22 @@ def main():
     carry = serve(variables, rgb + 0 * carry, ir)  # compile the chained form
     # two series: the first timed series after a fresh compile consistently runs
     # ~30-50% slow on this runtime (clock/tunnel warmup); discard it
+    n_fly = max(1, args.inflight)
     for series in range(2):
         for _ in range(args.warmup):
             carry = serve(variables, rgb + 0 * carry, ir)
         float(carry)
         t0 = time.time()
-        carry = jnp.float32(0)
-        for _ in range(args.iters):
-            carry = serve(variables, rgb + 0 * carry, ir)
-        float(carry)
+        # with --inflight N, batch i chains on batch i-N's output: the
+        # runtime may keep N batches in flight (overlapping dispatch with
+        # device compute, as a real serving pipeline does) while the final
+        # float() of every lane still strictly syncs the whole series
+        carries = [jnp.float32(0)] * n_fly
+        for i in range(args.iters):
+            carries[i % n_fly] = serve(
+                variables, rgb + 0 * carries[i % n_fly], ir)
+        for c in carries:
+            float(c)
         dt = (time.time() - t0) / args.iters
         print(f"series {series}: {dt * 1e3:.2f} ms/batch", file=sys.stderr)
     fps = args.batch / dt

@@ -144,6 +144,35 @@ def adaptive_pool2d(x, out_h: int, out_w: int, pool_type: str = "avg"):
     return _adaptive_pool_axis(x, 2, out_w, pool_type)
 
 
+class _QDense(nn.Module):
+    """nn.Dense-compatible layer (same param tree: kernel/bias, same init)
+    that serves from int8 weights when utils/quantize.py has populated a
+    'quant' collection for it (weight-only: w ~= w8 * s_w per out-channel).
+
+    The fusion transformer's matmuls run at tiny M (100-400 tokens x batch)
+    and are weight-bandwidth-bound (round-4 profile: 169 GB/s on the P5 MLPs)
+    — int8 weights halve the HBM traffic; the dequant multiply fuses into the
+    dot's operand load. Eval-only, lossless param layout, opt-in via
+    quantize_variables(fusion_dense=True)."""
+    features: int
+    kernel_init: Any = nn.initializers.lecun_normal()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.param("kernel", self.kernel_init,
+                       (x.shape[-1], self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        if self.has_variable("quant", "w8"):
+            w8 = self.get_variable("quant", "w8")
+            s_w = self.get_variable("quant", "s_w")
+            k = w8.astype(self.dtype) * s_w.astype(self.dtype)
+        else:
+            k = k.astype(self.dtype)
+        return x.astype(self.dtype) @ k + b.astype(self.dtype)
+
+
 class _Proj(nn.Module):
     """Dense-parameter holder (same param tree as nn.Dense: kernel/bias) whose
     weights can be consumed either by the einsum path or the fused Pallas kernel."""
@@ -234,11 +263,11 @@ class CrossAttention(nn.Module):
             out_ir = attend(q_vis, k_ir, v_ir)     # ir values, vis queries
 
         w_init = nn.initializers.normal(stddev=0.001)
-        out_vis = nn.Dense(d, kernel_init=w_init, dtype=self.dtype,
-                           name="out_vis")(out_vis.astype(self.dtype))
+        out_vis = _QDense(d, kernel_init=w_init, dtype=self.dtype,
+                          name="out_vis")(out_vis.astype(self.dtype))
         out_vis = nn.Dropout(self.resid_pdrop, deterministic=not train)(out_vis)
-        out_ir = nn.Dense(d, kernel_init=w_init, dtype=self.dtype,
-                          name="out_ir")(out_ir.astype(self.dtype))
+        out_ir = _QDense(d, kernel_init=w_init, dtype=self.dtype,
+                         name="out_ir")(out_ir.astype(self.dtype))
         out_ir = nn.Dropout(self.resid_pdrop, deterministic=not train)(out_ir)
         return [out_vis, out_ir]
 
@@ -268,12 +297,12 @@ class CrossTransformerBlock(nn.Module):
 
         def mlp(name):
             def f(x):
-                y = nn.Dense(self.block_exp * self.d_model, dtype=self.dtype,
-                             kernel_init=TORCH_CONV_INIT,
-                             name=f"{name}_fc1")(x)
+                y = _QDense(self.block_exp * self.d_model, dtype=self.dtype,
+                            kernel_init=TORCH_CONV_INIT,
+                            name=f"{name}_fc1")(x)
                 y = jax.nn.gelu(y, approximate=False)
-                y = nn.Dense(self.d_model, dtype=self.dtype,
-                             kernel_init=TORCH_CONV_INIT, name=f"{name}_fc2")(y)
+                y = _QDense(self.d_model, dtype=self.dtype,
+                            kernel_init=TORCH_CONV_INIT, name=f"{name}_fc2")(y)
                 return nn.Dropout(self.resid_pdrop, deterministic=not train)(y)
             return f
 

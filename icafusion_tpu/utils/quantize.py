@@ -89,11 +89,46 @@ def detect_feeder_skip(cfg) -> Tuple[str, ...]:
     return tuple(out)
 
 
+_FUSION_DENSE_LEAVES = ("out_vis", "out_ir")
+_FUSION_DENSE_SUFFIXES = ("_fc1", "_fc2")
+
+
+def _quantize_fusion_dense(params: dict, quant: dict, min_scale: float):
+    """Weight-only int8 for the fusion transformer's Dense layers (consumed
+    by nn/fusion.py _QDense): per-out-channel symmetric w8 + s_w, no
+    activation quantization. These matmuls run at tiny M and are
+    weight-bandwidth-bound (round-4 profile: 169 GB/s on the P5 MLPs), so
+    halving weight bytes is the available lever; weight-only keeps the
+    numerics near-lossless (per-channel absmax on weights alone)."""
+    def walk(p_node, path=()):
+        if not isinstance(p_node, dict):
+            return
+        name = path[-1] if path else ""
+        if "kernel" in p_node and np.ndim(p_node["kernel"]) == 2 and (
+                name in _FUSION_DENSE_LEAVES
+                or name.endswith(_FUSION_DENSE_SUFFIXES)):
+            w = np.asarray(p_node["kernel"], np.float32)
+            s_w = np.maximum(np.abs(w).max(axis=0) / 127.0, min_scale)
+            node = quant
+            for key in path[:-1]:
+                node = node.setdefault(key, {})
+            node[name] = {
+                "w8": np.clip(np.round(w / s_w), -127, 127).astype(np.int8),
+                "s_w": s_w.astype(np.float32),
+            }
+            return
+        for key, child in p_node.items():
+            walk(child, path + (key,))
+
+    walk(params)
+
+
 def quantize_variables(variables: dict, calib: dict,
                        min_scale: float = 1e-8,
                        min_ch: int = 0,
                        skip: Tuple[str, ...] = (),
-                       weight_clip: str = "absmax") -> dict:
+                       weight_clip: str = "absmax",
+                       fusion_dense: bool = False) -> dict:
     """Build the 'quant' collection from params + calibration absmaxes.
 
     For every module path that has both a calibrated 'absmax' (sown by Conv)
@@ -118,7 +153,13 @@ def quantize_variables(variables: dict, calib: dict,
 
     weight_clip: 'absmax' (default) or 'mse' — per-out-channel MSE-optimal
     clip search over scale = r*absmax/127 (r in [0.5, 1]); measured effect in
-    ACCURACY.md's int8 row."""
+    ACCURACY.md's int8 row.
+
+    fusion_dense: also emit weight-only int8 for the fusion transformer's
+    Dense layers (attention out-projections and the MLP fc1/fc2 — see
+    _quantize_fusion_dense / nn/fusion.py _QDense). Off by default: the
+    conv path's W8A8 is measured end-to-end; this knob's value depends on
+    whether XLA fuses the dequant into the dot's operand load (BENCH.md)."""
     params = jax.tree.map(np.asarray, variables["params"])
     skip = (skip,) if isinstance(skip, str) else tuple(skip)
 
@@ -166,6 +207,8 @@ def quantize_variables(variables: dict, calib: dict,
     quant = walk(params, calib)
     if not quant:
         raise ValueError("no quantizable convs found (empty calibration?)")
+    if fusion_dense:
+        _quantize_fusion_dense(params, quant, min_scale)
     new = dict(variables)
     new["quant"] = jax.tree.map(jax.numpy.asarray, quant)
     return new

@@ -169,3 +169,70 @@ def test_nested_skip_and_detect_feeder():
         sib = nested[0].split("/")[0] + "/cv1"
         sib_key = "".join(f"['{p}']" for p in sib.split("/"))
         assert any(sib_key in p for p in paths_skip), sib
+
+
+def test_fusion_dense_weight_only_int8():
+    """fusion_dense=True adds weight-only w8/s_w for the fusion transformer's
+    Dense layers (attention out-projections + MLP fc1/fc2), _QDense serves
+    them, the param tree/checkpoint layout is unchanged, and the extra error
+    over conv-only int8 stays in the near-lossless weight-only range."""
+    from icafusion_tpu.models import build_model
+    from icafusion_tpu.models.zoo import tiny_icafusion_config
+
+    model = build_model(tiny_icafusion_config(nc=3), dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.uniform(rng, (1, 128, 128, 3))
+    x2 = jax.random.uniform(jax.random.PRNGKey(1), x.shape)
+    v = model.init({"params": rng}, x, x2, train=False, decode=False)
+    cal = calibrate(model, v, [(x, x2)])
+    qv = quantize_variables(v, cal)
+    qvd = quantize_variables(v, cal, fusion_dense=True)
+
+    # the dense entries exist exactly where the fusion Dense kernels live
+    def leaves_with(tree, key, path=()):
+        if not isinstance(tree, dict):
+            return []
+        out = [path] if key in tree and isinstance(tree[key], dict) is False \
+            else []
+        got = []
+        for k, sub in tree.items():
+            got += leaves_with(sub, key, path + (k,))
+        return out + got
+
+    def dense_paths(tree, path=()):
+        found = []
+        if isinstance(tree, dict):
+            for k, sub in tree.items():
+                if k in ("out_vis", "out_ir") or k.endswith(("_fc1", "_fc2")):
+                    if isinstance(sub, dict) and "kernel" in sub and \
+                            np.ndim(sub["kernel"]) == 2:
+                        found.append(path + (k,))
+                found += dense_paths(sub, path + (k,))
+        return found
+
+    want = set(dense_paths(jax.tree.map(np.asarray, v["params"])))
+    assert want, "tiny config has no fusion Dense layers?"
+    for p in want:
+        node = qvd["quant"]
+        for k in p:
+            assert k in node, f"missing quant entry for {'/'.join(p)}"
+            node = node[k]
+        assert node["w8"].dtype == jnp.int8
+        # conv-only quantization must NOT contain it
+        n2, present = qv["quant"], True
+        for k in p:
+            if k not in n2:
+                present = False
+                break
+            n2 = n2[k]
+        assert not present
+
+    # param trees identical (checkpoint layout untouched)
+    assert jax.tree.structure(v["params"]) == jax.tree.structure(
+        qvd["params"])
+
+    pf, _, _ = model.apply(qv, x, x2, train=False, decode=True)
+    pd, _, _ = model.apply(qvd, x, x2, train=False, decode=True)
+    rel = np.abs(np.asarray(pd) - np.asarray(pf)).mean() / \
+        (np.abs(np.asarray(pf)).mean() + 1e-9)
+    assert rel < 0.01, f"weight-only dense int8 error too large: {rel}"
