@@ -108,11 +108,10 @@ class ServingEngine:
         repl = NamedSharding(self.mesh, P())
         self.variables = jax.device_put(qvars, repl)
 
-    def predict_arrays(self, rgb: np.ndarray, ir: np.ndarray,
-                       orig_hw: Optional[Sequence] = None) -> List[np.ndarray]:
-        """rgb/ir: (n, H, W, 3) uint8 letterboxed pairs (n <= batch_size) on
-        this engine's canvas. Returns per-image (k, 6) [x1,y1,x2,y2,conf,cls]
-        in letterboxed (or native, if orig_hw given) coordinates."""
+    def _dispatch(self, rgb: np.ndarray, ir: np.ndarray):
+        """Pad to the engine batch, upload, and dispatch the serve step —
+        returns (device detections, n) WITHOUT blocking (jax dispatch is
+        async; the device computes while the host moves on)."""
         n = rgb.shape[0]
         B, (H, W) = self.batch_size, self.canvas
         if n < B:
@@ -122,27 +121,75 @@ class ServingEngine:
         dets = self._serve(self.variables,
                            jax.device_put(rgb, self._data_sharding),
                            jax.device_put(ir, self._data_sharding))
+        return dets, n
+
+    def _finalize(self, dets, n, orig_hw=None) -> List[np.ndarray]:
+        """Fetch a dispatched batch's detections and rescale to native space
+        (this is the blocking half of _dispatch)."""
+        (H, W) = self.canvas
         out = detections_to_numpy(jax.device_get(dets))[:n]
         if orig_hw is not None:
             for i, (h0, w0) in enumerate(orig_hw[:n]):
                 if len(out[i]):
-                    out[i][:, :4] = scale_coords_np((H, W), out[i][:, :4], (h0, w0))
+                    out[i][:, :4] = scale_coords_np((H, W), out[i][:, :4],
+                                                    (h0, w0))
         return out
 
+    def predict_arrays(self, rgb: np.ndarray, ir: np.ndarray,
+                       orig_hw: Optional[Sequence] = None) -> List[np.ndarray]:
+        """rgb/ir: (n, H, W, 3) uint8 letterboxed pairs (n <= batch_size) on
+        this engine's canvas. Returns per-image (k, 6) [x1,y1,x2,y2,conf,cls]
+        in letterboxed (or native, if orig_hw given) coordinates."""
+        dets, n = self._dispatch(rgb, ir)
+        return self._finalize(dets, n, orig_hw)
+
     def predict_paths(self, rgb_paths: List[str], ir_paths: List[str],
-                      n_threads: int = None) -> List[np.ndarray]:
+                      n_threads: int = None,
+                      pipeline: bool = True) -> List[np.ndarray]:
         """Native-decode + serve; detections in native image coordinates.
         n_threads=None lets the native loader pick min(8, cpu_count) —
-        oversubscribing a small host thrashes (BENCH.md)."""
+        oversubscribing a small host thrashes (BENCH.md).
+
+        pipeline=True (default) overlaps the three stages across batches:
+        batch i+1's JPEG decode+letterbox runs in a worker thread and batch
+        i's detections stay on-device while batch i+1 is uploaded and
+        dispatched — so host decode (~1.7 ms/pair native), H2D, device
+        compute and D2H all proceed concurrently instead of in sequence.
+        Decode and compute are near-parity at b32@640 (~50 ms each), so the
+        overlap approaches 2x on the file-serving path. Results are
+        identical and ordered either way (tests/test_multidevice_serve_eval)."""
         from icafusion_tpu.data import native
-        outs: List[np.ndarray] = []
         B = self.batch_size
-        for start in range(0, len(rgb_paths), B):
-            rp = rgb_paths[start:start + B]
-            ip = ir_paths[start:start + B]
-            rgb, ir, ratios, pads, hw = native.decode_letterbox_batch(
-                rp, ip, self.canvas, scaleup=True, n_threads=n_threads)
-            outs.extend(self.predict_arrays(rgb, ir, orig_hw=hw.tolist()))
+        chunks = [(rgb_paths[s:s + B], ir_paths[s:s + B])
+                  for s in range(0, len(rgb_paths), B)]
+
+        def decode(chunk):
+            rgb, ir, _, _, hw = native.decode_letterbox_batch(
+                chunk[0], chunk[1], self.canvas, scaleup=True,
+                n_threads=n_threads)
+            return rgb, ir, hw
+
+        outs: List[np.ndarray] = []
+        if not pipeline:
+            for chunk in chunks:
+                rgb, ir, hw = decode(chunk)
+                outs.extend(self.predict_arrays(rgb, ir, orig_hw=hw.tolist()))
+            return outs
+
+        from concurrent.futures import ThreadPoolExecutor
+        pending = None                     # (device dets, n, hw) in flight
+        with ThreadPoolExecutor(1) as ex:
+            fut = ex.submit(decode, chunks[0]) if chunks else None
+            for i in range(len(chunks)):
+                rgb, ir, hw = fut.result()
+                fut = (ex.submit(decode, chunks[i + 1])
+                       if i + 1 < len(chunks) else None)
+                dets, n = self._dispatch(rgb, ir)   # async — device busy now
+                if pending is not None:
+                    outs.extend(self._finalize(*pending))
+                pending = (dets, n, hw.tolist())
+            if pending is not None:
+                outs.extend(self._finalize(*pending))
         return outs
 
     def throughput(self, iters: int = 20) -> float:

@@ -167,3 +167,34 @@ def test_fit_non_main_process_writes_nothing(tmp_path, monkeypatch):
     files = [p for p in leftovers
              if p.is_file() and ".cache" not in p.parts]
     assert not files, files
+
+
+def test_predict_paths_pipeline_matches_serial(tiny_model, tmp_path):
+    """The pipelined predict_paths (decode prefetch + deferred device fetch)
+    must return the same ordered detections as the strictly serial loop,
+    across multiple batches including a ragged tail."""
+    from icafusion_tpu.data import native
+    if not native.available():
+        pytest.skip("native library not built")
+    import cv2
+
+    from icafusion_tpu.serve.engine import ServingEngine
+
+    model, variables = tiny_model
+    rng = np.random.default_rng(3)
+    rgb_paths, ir_paths = [], []
+    for i in range(5):  # batch_size=2 -> 3 batches, last ragged
+        img = rng.integers(0, 255, (48, 72, 3), np.uint8)
+        p1, p2 = str(tmp_path / f"r{i}.jpg"), str(tmp_path / f"i{i}.jpg")
+        cv2.imwrite(p1, img, [cv2.IMWRITE_JPEG_QUALITY, 98])
+        cv2.imwrite(p2, img[:, ::-1], [cv2.IMWRITE_JPEG_QUALITY, 98])
+        rgb_paths.append(p1)
+        ir_paths.append(p2)
+
+    eng = ServingEngine(model=model, variables=dict(variables), img_size=64,
+                        batch_size=2, conf_thres=0.001)
+    serial = eng.predict_paths(rgb_paths, ir_paths, pipeline=False)
+    piped = eng.predict_paths(rgb_paths, ir_paths, pipeline=True)
+    assert len(serial) == len(piped) == 5
+    for a, b in zip(serial, piped):
+        np.testing.assert_array_equal(a, b)
