@@ -1,3 +1,4 @@
+from icafusion_tpu.serve.batcher import MicroBatcher
 from icafusion_tpu.serve.engine import ServingEngine
 
-__all__ = ["ServingEngine"]
+__all__ = ["ServingEngine", "MicroBatcher"]

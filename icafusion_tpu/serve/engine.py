@@ -108,12 +108,14 @@ class ServingEngine:
         repl = NamedSharding(self.mesh, P())
         self.variables = jax.device_put(qvars, repl)
 
-    def _dispatch(self, rgb: np.ndarray, ir: np.ndarray):
-        """Pad to the engine batch, upload, and dispatch the serve step —
-        returns (device detections, n) WITHOUT blocking (jax dispatch is
-        async; the device computes while the host moves on)."""
+    def _dispatch(self, rgb: np.ndarray, ir: np.ndarray, batch: int = None):
+        """Pad to the engine batch (or an explicit smaller `batch` bucket —
+        jit compiles one executable per static batch shape, reused thereafter;
+        see serve/batcher.py), upload, and dispatch the serve step — returns
+        (device detections, n) WITHOUT blocking (jax dispatch is async; the
+        device computes while the host moves on)."""
         n = rgb.shape[0]
-        B, (H, W) = self.batch_size, self.canvas
+        B, (H, W) = (batch or self.batch_size), self.canvas
         if n < B:
             pad = np.zeros((B - n, H, W, 3), np.uint8)
             rgb = np.concatenate([rgb, pad])
@@ -129,10 +131,10 @@ class ServingEngine:
         (H, W) = self.canvas
         out = detections_to_numpy(jax.device_get(dets))[:n]
         if orig_hw is not None:
-            for i, (h0, w0) in enumerate(orig_hw[:n]):
-                if len(out[i]):
+            for i, hw0 in enumerate(orig_hw[:n]):
+                if hw0 is not None and len(out[i]):
                     out[i][:, :4] = scale_coords_np((H, W), out[i][:, :4],
-                                                    (h0, w0))
+                                                    tuple(hw0))
         return out
 
     def predict_arrays(self, rgb: np.ndarray, ir: np.ndarray,
