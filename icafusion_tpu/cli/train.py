@@ -56,6 +56,23 @@ def parse_args(argv=None):
                          "identical trajectory, full MXU lanes on sub-128-ch "
                          "stages (utils/stream_merge.py); checkpoints keep "
                          "the standard layout")
+    ap.add_argument("--linear-lr", action="store_true",
+                    help="linear LR decay instead of one-cycle cosine "
+                         "(reference train.py:148-152)")
+    ap.add_argument("--label-smoothing", type=float, default=0.0,
+                    metavar="EPS",
+                    help="BCE target smoothing epsilon (reference "
+                         "train.py:231, loss.py:15-17)")
+    ap.add_argument("--single-cls", action="store_true",
+                    help="train as a single-class dataset: labels collapse "
+                         "to class 0, model built with nc=1 (reference "
+                         "train.py:523, datasets.py:393)")
+    ap.add_argument("--nosave", action="store_true",
+                    help="only save checkpoints on the final epoch "
+                         "(reference train.py:384)")
+    ap.add_argument("--notest", action="store_true",
+                    help="only run eval on the final epoch "
+                         "(reference train.py:370)")
     ap.add_argument("--results-format", default="native",
                     choices=["native", "reference"],
                     help="results.csv layout; 'reference' writes the "
@@ -88,6 +105,13 @@ def main(argv=None):
     init_seeds(args.seed)
     data_cfg = load_data_config(args.data)
     hyp = load_hyp_config(args.hyp)
+    if args.label_smoothing:
+        # reference train.py:231: hyp['label_smoothing'] = opt.label_smoothing
+        hyp = hyp.replace(label_smoothing=args.label_smoothing)
+    if args.single_cls:
+        # one merged class (reference train.py:523: nc = 1, names = ['item'])
+        import dataclasses as _dc
+        data_cfg = _dc.replace(data_cfg, nc=1, names=["item"])
     model_cfg = resolve_model_config(args.cfg, nc=data_cfg.nc)
     imgsz = check_img_size(args.img_size, 32)
 
@@ -105,7 +129,9 @@ def main(argv=None):
             accum_steps=resolve_accum(args.accum, args.batch_size),
             distributed=args.distributed, adam=args.adam,
             merge_streams=resolve_merge(args.merge_streams, model_cfg),
-            results_format=args.results_format, kaist_ann=args.kaist_ann)
+            results_format=args.results_format, kaist_ann=args.kaist_ann,
+            linear_lr=args.linear_lr, single_cls=args.single_cls,
+            nosave=args.nosave, notest=args.notest)
 
     if args.evolve:
         # GA over the hyp space: each generation is a short fit() run scored

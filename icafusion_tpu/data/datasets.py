@@ -120,6 +120,8 @@ class PairedDetectionDataset:
     augment: bool = False
     nc: Optional[int] = None
     cache_dir: Optional[str] = None
+    single_cls: bool = False   # collapse every label to class 0 (reference
+    # --single-cls: datasets.py:393 `if single_cls: x[:, 0] = 0`)
 
     def __post_init__(self):
         self.files_rgb = discover_images(self.path_rgb)
@@ -143,11 +145,24 @@ class PairedDetectionDataset:
             cache_path = Path(self.cache_dir) / f"labels_{key}.npz"
             if cache_path.is_file():
                 z = np.load(cache_path, allow_pickle=False)
-                return [z[f"l{i}"] for i in range(len(self.files_rgb))]
-        labels = [parse_label_file(p, self.nc) for p in self.label_files]
+                labels = [z[f"l{i}"] for i in range(len(self.files_rgb))]
+                return self._collapse(labels)
+        # single_cls parses without the class<nc assert (raw files keep their
+        # original multi-class ids), then collapses to 0 below
+        labels = [parse_label_file(p, None if self.single_cls else self.nc)
+                  for p in self.label_files]
         if cache_path is not None:
             cache_path.parent.mkdir(parents=True, exist_ok=True)
             np.savez(cache_path, **{f"l{i}": l for i, l in enumerate(labels)})
+        return self._collapse(labels)
+
+    def _collapse(self, labels: List[np.ndarray]) -> List[np.ndarray]:
+        """single_cls: every object becomes class 0 (applied after the cache,
+        so the cache stays class-full and shareable with multi-class runs)."""
+        if self.single_cls:
+            for l in labels:
+                if len(l):
+                    l[:, 0] = 0
         return labels
 
     def class_histogram(self) -> np.ndarray:

@@ -155,11 +155,13 @@ class ServingEngine:
         pipeline=True (default) overlaps the three stages across batches:
         batch i+1's JPEG decode+letterbox runs in a worker thread and batch
         i's detections stay on-device while batch i+1 is uploaded and
-        dispatched — so host decode (~1.7 ms/pair native), H2D, device
-        compute and D2H all proceed concurrently instead of in sequence.
-        Decode and compute are near-parity at b32@640 (~50 ms each), so the
-        overlap approaches 2x on the file-serving path. Results are
-        identical and ordered either way (tests/test_multidevice_serve_eval)."""
+        dispatched — so host decode, H2D, device compute and D2H all proceed
+        concurrently instead of in sequence. Measured on the trained s640
+        checkpoint at 512x640 (tools/file_serving_probe.py): decode is
+        ~28 ms/pair on this 1-CPU host — comparable to or above device
+        compute — and the pipeline hides ALL of it (3.98 s of a 141-pair
+        serial wall) behind the H2D stream. Results are identical and
+        ordered either way (tests/test_multidevice_serve_eval)."""
         from icafusion_tpu.data import native
         B = self.batch_size
         chunks = [(rgb_paths[s:s + B], ir_paths[s:s + B])

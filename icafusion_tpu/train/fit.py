@@ -155,6 +155,18 @@ class FitConfig:
     # same training trajectory, sub-128-ch stages on full MXU lanes.
     # Checkpoints are written in the standard (unmerged) layout.
     merge_streams: int = 0
+    # linear LR decay instead of one-cycle cosine (reference --linear-lr,
+    # train.py:148-152)
+    linear_lr: bool = False
+    # treat the dataset as single-class: every label becomes class 0
+    # (reference --single-cls, train.py / datasets.py:393); pair with a
+    # model_cfg/data_cfg resolved at nc=1 — cli/train.py does both
+    single_cls: bool = False
+    # only save checkpoints on the final epoch (reference --nosave,
+    # train.py:384 `if (not opt.nosave) or final_epoch`)
+    nosave: bool = False
+    # only run eval on the final epoch (reference --notest, train.py:370)
+    notest: bool = False
     # results.csv layout: "native" (11-col) or "reference" — the reference's
     # epoch + 29-key row (train.py:398-411), parseable by its plot_results
     # unmodified; val losses are computed from the eval forward's raw fmaps.
@@ -209,11 +221,11 @@ def fit(cfg: FitConfig) -> dict:
     train_ds = PairedDetectionDataset(
         str(root / cfg.data_cfg.train_rgb), str(root / cfg.data_cfg.train_ir),
         img_size=cfg.imgsz, hyp=cfg.hyp, augment=True, nc=cfg.data_cfg.nc,
-        cache_dir=str(run_dir / ".cache"))
+        cache_dir=str(run_dir / ".cache"), single_cls=cfg.single_cls)
     val_ds = PairedDetectionDataset(
         str(root / cfg.data_cfg.val_rgb), str(root / cfg.data_cfg.val_ir),
         img_size=cfg.imgsz, hyp=cfg.hyp, augment=False, nc=cfg.data_cfg.nc,
-        cache_dir=str(run_dir / ".cache"))
+        cache_dir=str(run_dir / ".cache"), single_cls=cfg.single_cls)
     from icafusion_tpu.utils.general import labels_to_class_weights
     class_w = labels_to_class_weights(train_ds.labels, cfg.data_cfg.nc)
 
@@ -258,7 +270,8 @@ def fit(cfg: FitConfig) -> dict:
                       steps_per_epoch=loader.steps_per_epoch,
                       batch_size=cfg.batch_size, imgsz=cfg.imgsz,
                       warmup_min_steps=cfg.warmup_min_steps,
-                      accum_steps=accum, adam=cfg.adam)
+                      accum_steps=accum, adam=cfg.adam,
+                      linear_lr=cfg.linear_lr)
 
     sample = next(iter(loader.epoch(0)))
     state = trainer.init_state(jax.random.PRNGKey(cfg.seed),
@@ -389,7 +402,7 @@ def fit(cfg: FitConfig) -> dict:
         ev = {"mp": 0, "mr": 0, "map50": 0, "map": 0}
         mr_vals = [0.0] * 10
         last_epoch = epoch == cfg.epochs - 1
-        if (epoch + 1) % cfg.eval_every == 0 or last_epoch:
+        if ((epoch + 1) % cfg.eval_every == 0 and not cfg.notest) or last_epoch:
             ema_vars = jax.device_get(state.ema.tree)
             # final epoch also emits PR/F1/P/R curves + confusion matrix
             # (reference test.py plots at final eval, train.py:454-473)
@@ -415,11 +428,12 @@ def fit(cfg: FitConfig) -> dict:
                                         ev["map50"], ev["map"]]))
             if fit_val > best_fit:
                 best_fit = fit_val
-                if is_main:
+                if is_main and (not cfg.nosave or last_epoch):
                     save_checkpoint(wdir / "best.ckpt", ckpt_view(state), epoch, best_fit,
                                     background=True)
-        if is_main and ((epoch + 1) % cfg.save_every == 0
-                        or epoch == cfg.epochs - 1):
+        if is_main and (not cfg.nosave or epoch == cfg.epochs - 1) \
+                and ((epoch + 1) % cfg.save_every == 0
+                     or epoch == cfg.epochs - 1):
             save_checkpoint(wdir / "last.ckpt", ckpt_view(state), epoch, best_fit,
                             background=True)
 

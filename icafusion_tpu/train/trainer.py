@@ -67,6 +67,7 @@ class Trainer:
     ema_decay: float = 0.9999
     warmup_min_steps: int = 1000
     adam: bool = False              # reference --adam (train.py:128-146)
+    linear_lr: bool = False         # reference --linear-lr (train.py:148-152)
 
     def __post_init__(self):
         cfg = self.model.cfg
@@ -79,7 +80,8 @@ class Trainer:
         self.optimizer = opt_cls(hyp=self.hyp, epochs=self.epochs,
                                  steps_per_epoch=self.steps_per_epoch,
                                  total_batch_size=self.batch_size * self.accum_steps,
-                                 warmup_min_steps=self.warmup_min_steps)
+                                 warmup_min_steps=self.warmup_min_steps,
+                                 linear_lr=self.linear_lr)
 
     def init_state(self, rng, sample_rgb, sample_ir,
                    variables: Any = None) -> TrainState:
