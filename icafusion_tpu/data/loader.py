@@ -41,11 +41,22 @@ class PairedLoader:
     prefetch: int = 4
     image_weights: bool = False   # class-aware epoch resampling (train.py:267-278)
     class_weights: Optional[np.ndarray] = None
+    # multi-process SPMD: materialize only rows [start, stop) of each global
+    # batch — the rows this process's addressable devices own under the data
+    # mesh (parallel/mesh.process_batch_slice). The permutation is computed
+    # from the shared seed on every process, so ranks agree on the global
+    # order with no communication — the reference's DistributedSampler
+    # contract (datasets.py:119) without the sampler object. None = all rows.
+    local_rows: Optional[tuple] = None
 
     def __post_init__(self):
         n = len(self.dataset)
         self.steps_per_epoch = n // self.batch_size if self.drop_last else \
             (n + self.batch_size - 1) // self.batch_size
+        if self.local_rows is not None:
+            lo, hi = self.local_rows
+            assert 0 <= lo < hi <= self.batch_size, (self.local_rows,
+                                                     self.batch_size)
 
     def _epoch_indices(self, epoch: int) -> np.ndarray:
         rng = np.random.default_rng(self.seed + epoch)
@@ -97,6 +108,12 @@ class PairedLoader:
         idx = self._epoch_indices(epoch)
         batches = [idx[i * self.batch_size:(i + 1) * self.batch_size]
                    for i in range(self.steps_per_epoch)]
+        if self.local_rows is not None:
+            # per-process shard of every global batch; each sample's augment
+            # RNG is keyed on (seed, epoch, dataset index), not slot, so the
+            # produced rows are bit-identical to the single-process run's
+            lo, hi = self.local_rows
+            batches = [b[lo:hi] for b in batches]
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = object()
 

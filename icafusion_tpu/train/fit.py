@@ -31,7 +31,8 @@ from icafusion_tpu.data.loader import PairedLoader
 from icafusion_tpu.eval.evaluator import Evaluator
 from icafusion_tpu.eval.metrics import fitness
 from icafusion_tpu.models.assembler import build_model
-from icafusion_tpu.parallel.mesh import make_mesh
+from icafusion_tpu.parallel.mesh import (make_mesh, process_batch_slice,
+                                         replicate_tree, shard_batch)
 from icafusion_tpu.train.trainer import Trainer, scaled_size
 from icafusion_tpu.utils.checkpoint import (load_checkpoint, restore_train_state,
                                             save_checkpoint, strip_checkpoint)
@@ -102,14 +103,17 @@ class EpochMeter:
     KEYS = ("lbox", "lobj", "lcls", "loss")
 
     def __init__(self):
-        self.sums = jnp.zeros(len(self.KEYS))
-        self.n = 0
+        self.sums = None   # lazy: first add adopts the metrics' (possibly
+        self.n = 0         # multi-host replicated) sharding
 
     def add(self, metrics):
-        self.sums = self.sums + jnp.stack([metrics[k] for k in self.KEYS])
+        s = jnp.stack([metrics[k] for k in self.KEYS])
+        self.sums = s if self.sums is None else self.sums + s
         self.n += 1
 
     def means(self) -> np.ndarray:
+        if self.sums is None:
+            return np.zeros(len(self.KEYS))
         return (np.asarray(jax.device_get(self.sums), np.float64)
                 / max(self.n, 1))
 
@@ -185,9 +189,21 @@ def fit(cfg: FitConfig) -> dict:
     # non-zero ranks run the identical SPMD program but write/print nothing
     # (reference `rank in [-1, 0]` gates train.py:71/:210/:289/:355/:375)
     is_main = jax.process_index() == 0
+    n_proc = jax.process_count()
     log = print if is_main else (lambda *a, **k: None)
 
     run_dir = increment_path(Path(cfg.project) / cfg.name)
+    if n_proc > 1:
+        # every process must agree on the run dir (increment_path races with
+        # process 0's mkdir otherwise) — broadcast process 0's choice, the
+        # counterpart of the reference's rank-0-first barrier
+        # (torch_distributed_zero_first, torch_utils.py:27-36)
+        from jax.experimental import multihost_utils
+        buf = np.zeros(512, np.uint8)
+        raw = str(run_dir).encode()
+        buf[:len(raw)] = np.frombuffer(raw, np.uint8)
+        buf = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+        run_dir = Path(bytes(buf[buf != 0]).decode())
     wdir = run_dir / "weights"
     if is_main:
         wdir.mkdir(parents=True, exist_ok=True)
@@ -218,14 +234,19 @@ def fit(cfg: FitConfig) -> dict:
 
     # --- data ---
     root = Path(cfg.data_cfg.path)
+    # per-process label-cache dirs: no cross-process write races, no barrier
+    # needed (replaces the reference's rank-0-first caching guard,
+    # datasets.py:105 / torch_utils.py:27-36)
+    cache_dir = str(run_dir / (".cache" if n_proc == 1
+                               else f".cache_p{jax.process_index()}"))
     train_ds = PairedDetectionDataset(
         str(root / cfg.data_cfg.train_rgb), str(root / cfg.data_cfg.train_ir),
         img_size=cfg.imgsz, hyp=cfg.hyp, augment=True, nc=cfg.data_cfg.nc,
-        cache_dir=str(run_dir / ".cache"), single_cls=cfg.single_cls)
+        cache_dir=cache_dir, single_cls=cfg.single_cls)
     val_ds = PairedDetectionDataset(
         str(root / cfg.data_cfg.val_rgb), str(root / cfg.data_cfg.val_ir),
         img_size=cfg.imgsz, hyp=cfg.hyp, augment=False, nc=cfg.data_cfg.nc,
-        cache_dir=str(run_dir / ".cache"), single_cls=cfg.single_cls)
+        cache_dir=cache_dir, single_cls=cfg.single_cls)
     from icafusion_tpu.utils.general import labels_to_class_weights
     class_w = labels_to_class_weights(train_ds.labels, cfg.data_cfg.nc)
 
@@ -243,10 +264,21 @@ def fit(cfg: FitConfig) -> dict:
     # gradient accumulation: the loader yields A*B samples per optimizer step;
     # the jitted step scans A microbatches of B (trainer.py make_train_step)
     accum = max(int(cfg.accum_steps or 1), 1)
+    # the data mesh spans every process's devices; with n_proc > 1 each
+    # process's loader materializes only its contiguous row range of every
+    # global batch (the DistributedSampler counterpart — datasets.py:119)
+    mesh = make_mesh(cfg.n_devices)
+    local_rows = None
+    if n_proc > 1:
+        local_rows = process_batch_slice(cfg.batch_size * accum, mesh)
+        log(f"multi-process SPMD: {n_proc} processes x "
+            f"{jax.local_device_count()} devices; this process feeds rows "
+            f"{local_rows} of each global {cfg.batch_size * accum}-batch")
     loader = PairedLoader(train_ds, batch_size=cfg.batch_size * accum,
                           max_targets=cfg.max_targets, seed=cfg.seed,
                           num_workers=cfg.workers,
-                          image_weights=cfg.image_weights, class_weights=class_w)
+                          image_weights=cfg.image_weights, class_weights=class_w,
+                          local_rows=local_rows)
     val_loader = PairedLoader(val_ds, batch_size=cfg.batch_size, shuffle=False,
                               num_workers=cfg.workers)
 
@@ -304,10 +336,9 @@ def fit(cfg: FitConfig) -> dict:
             "diagonal with masked grads (identical trajectory, full MXU lanes)")
 
     # --- SPMD step over the data mesh ---
-    mesh = make_mesh(cfg.n_devices)
     repl = NamedSharding(mesh, P())
     data_sh = NamedSharding(mesh, P("data"))
-    state = jax.device_put(state, repl)
+    state = replicate_tree(state, mesh)
 
     def make_step(scale: float):
         raw_step = trainer.make_train_step(scale=scale, grad_mask=gmask)
@@ -362,11 +393,11 @@ def fit(cfg: FitConfig) -> dict:
         meter = EpochMeter()
         def put(b):
             # async H2D: dispatch uploads ahead so they stream while the previous
-            # step computes (device_put returns before the transfer completes)
-            return (jax.device_put(b["rgb"], data_sh),
-                    jax.device_put(b["ir"], data_sh),
-                    jax.device_put(b["targets"], data_sh),
-                    jax.device_put(b["mask"], data_sh))
+            # step computes (device_put returns before the transfer completes).
+            # Multi-process: b holds this process's rows; shard_batch assembles
+            # the global array via make_array_from_process_local_data.
+            return shard_batch((b["rgb"], b["ir"], b["targets"], b["mask"]),
+                               mesh)
 
         assert loader.steps_per_epoch > 0, "dataset smaller than one batch"
         it = iter(loader.epoch(epoch))
@@ -402,7 +433,11 @@ def fit(cfg: FitConfig) -> dict:
         ev = {"mp": 0, "mr": 0, "map50": 0, "map": 0}
         mr_vals = [0.0] * 10
         last_epoch = epoch == cfg.epochs - 1
-        if ((epoch + 1) % cfg.eval_every == 0 and not cfg.notest) or last_epoch:
+        # eval is main-process-only (reference rank-0 gate, train.py:379);
+        # fetching the replicated EMA works on any process, but duplicating
+        # the whole val pass N times buys nothing
+        if is_main and (((epoch + 1) % cfg.eval_every == 0 and not cfg.notest)
+                        or last_epoch):
             ema_vars = jax.device_get(state.ema.tree)
             # final epoch also emits PR/F1/P/R curves + confusion matrix
             # (reference test.py plots at final eval, train.py:454-473)

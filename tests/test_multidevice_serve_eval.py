@@ -140,9 +140,11 @@ def test_serving_engine_int8_quantized_over_8_devices(tiny_model):
 
 
 def test_fit_non_main_process_writes_nothing(tmp_path, monkeypatch):
-    """Multi-host gating (fit.py is_main, reference train.py rank in [-1,0]):
-    a non-zero process_index must train but emit NO run-dir artifacts —
-    no results.csv, checkpoints, plots, or TB events."""
+    """SUPPLEMENT to the real 2-process cluster proof (tests/test_multihost.py
+    + tools/multihost_train.py, which launch genuine jax.distributed
+    processes): this quick monkeypatch covers only the is_main write-gating
+    (fit.py, reference train.py rank in [-1,0]) — a non-zero process_index
+    must train but emit NO run-dir artifacts."""
     from tests.test_fit_driver import _make_disk_dataset
     from icafusion_tpu.config import DataConfig, load_hyp_config
     from icafusion_tpu.models.zoo import tiny_icafusion_config
