@@ -66,33 +66,54 @@ def parse_args(argv=None):
 
 def _quantize_from_dir(args, data_cfg, model, variables, rgb_dir, ir_dir):
     """W8A8-quantize using the first val batches at args.img_size as the
-    calibration set (same normalization the Evaluator applies)."""
+    calibration set (same normalization the Evaluator applies).
+
+    When --weights is a real checkpoint file, the calibration absmax tree is
+    persisted next to it (<weights>.calib, keyed by the checkpoint's sha1 +
+    scheme version + merge + calib-set identity) and loaded on later runs —
+    load-and-serve instead of a fresh calibration forward per process
+    (reference deploy contract, experimental.py:113-134)."""
     import jax.numpy as jnp
 
     from icafusion_tpu.config import load_hyp_config
     from icafusion_tpu.data.datasets import PairedDetectionDataset
     from icafusion_tpu.data.loader import PairedLoader
-    from icafusion_tpu.utils.quantize import (calibrate,
+    from icafusion_tpu.utils.quantize import (calibrate, calibrate_cached,
+                                              calibration_key,
                                               detect_feeder_skip,
                                               quantize_variables)
 
-    ds = PairedDetectionDataset(rgb_dir, ir_dir, img_size=args.img_size,
-                                hyp=load_hyp_config(), augment=False,
-                                nc=data_cfg.nc)
-    loader = PairedLoader(ds, batch_size=args.batch_size, shuffle=False)
-    calib_batches = []
-    for batch in loader.val_batches():
-        calib_batches.append((jnp.asarray(batch["rgb"], jnp.float32) / 255.0,
-                              jnp.asarray(batch["ir"], jnp.float32) / 255.0))
-        if len(calib_batches) >= 2:
-            break
-    print(f"int8: calibrated on {len(calib_batches)} batches")
+    def calib_batches():
+        ds = PairedDetectionDataset(rgb_dir, ir_dir, img_size=args.img_size,
+                                    hyp=load_hyp_config(), augment=False,
+                                    nc=data_cfg.nc)
+        loader = PairedLoader(ds, batch_size=args.batch_size, shuffle=False)
+        batches = []
+        for batch in loader.val_batches():
+            batches.append((jnp.asarray(batch["rgb"], jnp.float32) / 255.0,
+                            jnp.asarray(batch["ir"], jnp.float32) / 255.0))
+            if len(batches) >= 2:
+                break
+        print(f"int8: calibrated on {len(batches)} batches")
+        return batches
+
+    w = Path(args.weights) if args.weights else None
+    if w is not None and w.is_file():
+        key = calibration_key(str(w), merge=getattr(model, "merge_pairs", 0),
+                              extra={"imgsz": args.img_size,
+                                     "calib_set": str(rgb_dir),
+                                     "batch": args.batch_size})
+        calib, hit = calibrate_cached(model, variables, calib_batches,
+                                      str(w) + ".calib", key)
+        print("int8: loaded persisted calibration "
+              f"({w}.calib)" if hit else
+              f"int8: calibration persisted to {w}.calib")
+    else:
+        calib = calibrate(model, variables, calib_batches())
     skip = detect_feeder_skip(model.cfg)
     print(f"int8: Detect-feeder convs kept in fp ({', '.join(skip)}) — "
           "measured +0.4 pts mAP@50 vs quantizing them (ACCURACY.md)")
-    return quantize_variables(variables,
-                              calibrate(model, variables, calib_batches),
-                              skip=skip)
+    return quantize_variables(variables, calib, skip=skip)
 
 
 def run_study(args, data_cfg, model, variables, rgb_dir: str, ir_dir: str):

@@ -91,22 +91,45 @@ class ServingEngine:
         z = np.zeros((B, H, W, 3), np.uint8)
         jax.block_until_ready(self._serve(self.variables, z, z))
 
-    def quantize(self, calib_pairs: Sequence) -> None:
+    def quantize(self, calib_pairs: Sequence = (),
+                 cache: Optional[str] = None,
+                 cache_key: Optional[dict] = None) -> bool:
         """Switch to int8 W8A8 serving (utils/quantize.py; ~1.2x throughput on
         v5e — BENCH.md). calib_pairs: (rgb, ir) uint8/float letterboxed batches
-        representative of production traffic."""
-        from icafusion_tpu.utils.quantize import (calibrate,
+        representative of production traffic.
+
+        cache: path of a versioned calibration artifact (see
+        utils/quantize.save_calibration). When it exists and matches
+        cache_key (+ this engine's merge/scheme identity), the 206-second
+        calibration forward is skipped entirely — the reference's
+        load-and-serve deploy contract (experimental.py:113-134). On miss the
+        engine calibrates from calib_pairs and writes the artifact. Returns
+        True when the cache was hit."""
+        from icafusion_tpu.utils.quantize import (calibrate, calibrate_cached,
+                                                  calibration_key,
                                                   detect_feeder_skip,
                                                   quantize_variables)
-        batches = [(jnp.asarray(r, jnp.float32) / 255.0,
-                    jnp.asarray(i, jnp.float32) / 255.0)
-                   for r, i in calib_pairs]
+
+        def batches():
+            return [(jnp.asarray(r, jnp.float32) / 255.0,
+                     jnp.asarray(i, jnp.float32) / 255.0)
+                    for r, i in calib_pairs]
+
+        hit = False
+        if cache:
+            key = calibration_key(merge=self.merge_streams,
+                                  extra={"canvas": list(self.canvas),
+                                         **(cache_key or {})})
+            calib, hit = calibrate_cached(self.model, self.variables,
+                                          batches, cache, key)
+        else:
+            calib = calibrate(self.model, self.variables, batches())
         qvars = quantize_variables(
-            jax.device_get(self.variables),
-            calibrate(self.model, self.variables, batches),
+            jax.device_get(self.variables), calib,
             skip=detect_feeder_skip(self.model.cfg))
         repl = NamedSharding(self.mesh, P())
         self.variables = jax.device_put(qvars, repl)
+        return hit
 
     def _dispatch(self, rgb: np.ndarray, ir: np.ndarray, batch: int = None):
         """Pad to the engine batch (or an explicit smaller `batch` bucket —

@@ -178,8 +178,26 @@ def main(argv=None):
             print("int8: WARNING — noise calibration (no --calib-rgb/ir); "
                   "per-channel activation scales will not match real "
                   "traffic, accuracy degrades. Smoke-test use only.")
-        ENGINE.quantize(calib)
-        print("int8: engine quantized")
+        # load-and-serve: the calibration absmax tree persists next to the
+        # checkpoint keyed by its sha1 (+ scheme/merge/canvas) — a warm
+        # process start skips the calibration forward entirely
+        # (utils/quantize.save_calibration; reference deploy contract,
+        # experimental.py:113-134)
+        import time as _time
+        from pathlib import Path as _Path
+
+        from icafusion_tpu.utils.quantize import calibration_key
+        t0 = _time.time()
+        if args.weights and _Path(args.weights).is_file():
+            sha = calibration_key(args.weights)["ckpt_sha1"]
+            hit = ENGINE.quantize(
+                calib, cache=args.weights + ".calib",
+                cache_key={"ckpt_sha1": sha,
+                           "calib_set": args.calib_rgb or "noise"})
+        else:
+            hit = ENGINE.quantize(calib)
+        print(f"int8: engine quantized in {_time.time() - t0:.1f}s "
+              f"({'persisted calibration loaded' if hit else 'calibrated fresh'})")
     global BATCHER
     from icafusion_tpu.serve.batcher import MicroBatcher
     BATCHER = MicroBatcher(ENGINE, max_wait_ms=args.max_wait_ms)

@@ -23,17 +23,30 @@ Usage:
 
 Compatibility: the 'quant' collection layout changed when activation scales
 went per-channel (s_in folded into w8/s_w; dequant is now y*s_w, not
-y*s_in*s_w). Collections are never checkpointed — always regenerate them
-from calibrate()+quantize_variables() on load; do not persist and reuse a
-collection across framework versions.
+y*s_in*s_w). The quant collection itself is never checkpointed — it is
+rebuilt from params + the CALIBRATION tree, and the calibration tree IS
+persistable: save_calibration()/load_calibration() write a versioned artifact
+(QUANT_SCHEME_VERSION + a caller key, e.g. the checkpoint's sha1) next to the
+checkpoint, so production engines load-and-serve (the reference's deploy
+contract, models/experimental.py:113-134) instead of re-running the
+calibration forward on every process start (measured 206 s cold for the
+l-scale flagship, BENCH_r04.json). A key/version mismatch silently falls
+back to fresh calibration.
 """
 
 from __future__ import annotations
 
-from typing import Iterable, Optional, Tuple
+import hashlib
+import json
+from pathlib import Path
+from typing import Callable, Iterable, Optional, Tuple
 
 import jax
 import numpy as np
+
+# bump when the calibration semantics change (what absmax means / how it is
+# folded); persisted artifacts from other versions are ignored
+QUANT_SCHEME_VERSION = "2-perchannel-fold"
 
 
 def calibrate(model, variables, batches: Iterable[Tuple]) -> dict:
@@ -52,6 +65,65 @@ def calibrate(model, variables, batches: Iterable[Tuple]) -> dict:
     if acc is None:
         raise ValueError("calibrate() needs at least one batch")
     return acc
+
+
+def calibration_key(ckpt_path: Optional[str] = None, merge: int = 0,
+                    extra: Optional[dict] = None) -> dict:
+    """Identity of a calibration artifact: scheme version + checkpoint file
+    sha1 (weights determine the absmax tree's structure and, with the data,
+    its values) + the stream-merge K (merged graphs have different module
+    paths). extra: caller-specific entries (e.g. canvas, calib-set id)."""
+    key = {"scheme": QUANT_SCHEME_VERSION, "merge": int(merge)}
+    if ckpt_path:
+        h = hashlib.sha1()
+        with open(ckpt_path, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        key["ckpt_sha1"] = h.hexdigest()
+    if extra:
+        key.update(extra)
+    return key
+
+
+def save_calibration(path, calib: dict, key: dict) -> None:
+    """Versioned calibration artifact (msgpack): {key-json, absmax tree}."""
+    from flax import serialization
+    payload = {"key": json.dumps(key, sort_keys=True),
+               "calib": jax.tree.map(np.asarray, calib)}
+    p = Path(path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    tmp = p.with_suffix(p.suffix + ".tmp")
+    tmp.write_bytes(serialization.msgpack_serialize(payload))
+    tmp.replace(p)
+
+
+def load_calibration(path, key: dict) -> Optional[dict]:
+    """Load a calibration artifact if present AND its key matches exactly;
+    None otherwise (caller falls back to fresh calibrate())."""
+    from flax import serialization
+    p = Path(path)
+    if not p.is_file():
+        return None
+    try:
+        payload = serialization.msgpack_restore(p.read_bytes())
+    except Exception:
+        return None
+    if payload.get("key") != json.dumps(key, sort_keys=True):
+        return None
+    return payload["calib"]
+
+
+def calibrate_cached(model, variables, batches_fn: Callable[[], Iterable],
+                     cache_path, key: dict) -> Tuple[dict, bool]:
+    """Load the calibration artifact when valid, else run the calibration
+    forward (batches_fn is only called on a miss — the batches themselves can
+    be expensive to assemble) and persist the result. Returns (calib, hit)."""
+    calib = load_calibration(cache_path, key)
+    if calib is not None:
+        return calib, True
+    calib = calibrate(model, variables, batches_fn())
+    save_calibration(cache_path, calib, key)
+    return calib, False
 
 
 def _mse_scales(w2d: np.ndarray, absmax: np.ndarray, min_scale: float,

@@ -236,3 +236,65 @@ def test_fusion_dense_weight_only_int8():
     rel = np.abs(np.asarray(pd) - np.asarray(pf)).mean() / \
         (np.abs(np.asarray(pf)).mean() + 1e-9)
     assert rel < 0.01, f"weight-only dense int8 error too large: {rel}"
+
+
+def test_calibration_persistence_roundtrip(tmp_path):
+    """save_calibration/load_calibration: bit-identical quant collections vs
+    fresh calibration; key mismatch (ckpt bytes, scheme, merge) falls back to
+    None (VERDICT r4 ask #4 — kill the per-process calibration forward)."""
+    from icafusion_tpu.models import build_model
+    from icafusion_tpu.models.zoo import tiny_icafusion_config
+    from icafusion_tpu.utils.quantize import (calibrate, calibrate_cached,
+                                              calibration_key,
+                                              load_calibration,
+                                              quantize_variables,
+                                              save_calibration)
+
+    cfg = tiny_icafusion_config(nc=3)
+    model = build_model(cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, 64, 64, 3), np.float32))
+    x2 = jnp.asarray(rng.random((2, 64, 64, 3), np.float32))
+    v = model.init({"params": jax.random.PRNGKey(0)}, x, x2,
+                   train=False, decode=False)
+
+    fresh = calibrate(model, v, [(x, x2)])
+    ckpt = tmp_path / "w.ckpt"
+    ckpt.write_bytes(b"fake-checkpoint-bytes")
+    key = calibration_key(str(ckpt), merge=0, extra={"imgsz": 64})
+    path = tmp_path / "w.ckpt.calib"
+    save_calibration(path, fresh, key)
+
+    # exact round trip
+    loaded = load_calibration(path, key)
+    assert loaded is not None
+    jax.tree.map(np.testing.assert_array_equal, fresh, loaded)
+
+    # quant collections built from fresh vs loaded calibration: bit-identical
+    qa = quantize_variables(v, fresh)["quant"]
+    qb = quantize_variables(v, loaded)["quant"]
+    jax.tree.map(np.testing.assert_array_equal, qa, qb)
+
+    # key mismatches -> None (silent recalibrate fallback)
+    assert load_calibration(path, calibration_key(str(ckpt), merge=3,
+                                                  extra={"imgsz": 64})) is None
+    bad = dict(key)
+    bad["scheme"] = "other-version"
+    assert load_calibration(path, bad) is None
+    ckpt.write_bytes(b"different-checkpoint-bytes")
+    assert load_calibration(path, calibration_key(str(ckpt), merge=0,
+                                                  extra={"imgsz": 64})) is None
+
+    # calibrate_cached: miss -> writes; hit -> skips the batches_fn entirely
+    path2 = tmp_path / "c2.calib"
+    calls = []
+
+    def batches():
+        calls.append(1)
+        return [(x, x2)]
+
+    c1, hit1 = calibrate_cached(model, v, batches, path2, key)
+    c2, hit2 = calibrate_cached(model, v, batches, path2, key)
+    assert (hit1, hit2) == (False, True)
+    assert len(calls) == 1, "cache hit must not assemble calibration batches"
+    jax.tree.map(np.testing.assert_array_equal, c1, c2)
