@@ -109,9 +109,13 @@ def main(argv=None):
         # reference train.py:231: hyp['label_smoothing'] = opt.label_smoothing
         hyp = hyp.replace(label_smoothing=args.label_smoothing)
     if args.single_cls:
-        # one merged class (reference train.py:523: nc = 1, names = ['item'])
+        # one merged class; the reference keeps the dataset's own name when it
+        # already has exactly one class (train.py:82 `names = ['item'] if
+        # opt.single_cls and len(data_dict['names']) != 1 else ...`)
         import dataclasses as _dc
-        data_cfg = _dc.replace(data_cfg, nc=1, names=["item"])
+        names = (tuple(data_cfg.names) if data_cfg.names
+                 and len(data_cfg.names) == 1 else ("item",))
+        data_cfg = _dc.replace(data_cfg, nc=1, names=names)
     model_cfg = resolve_model_config(args.cfg, nc=data_cfg.nc)
     imgsz = check_img_size(args.img_size, 32)
 

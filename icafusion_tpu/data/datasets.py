@@ -146,6 +146,15 @@ class PairedDetectionDataset:
             if cache_path.is_file():
                 z = np.load(cache_path, allow_pickle=False)
                 labels = [z[f"l{i}"] for i in range(len(self.files_rgb))]
+                # the cache may have been written by a single_cls run (parsed
+                # with the class<nc assert skipped); re-validate class ids
+                # against THIS run's nc so out-of-range ids never reach
+                # training (reference assert, train.py:205-207)
+                if self.nc is not None and not self.single_cls:
+                    for lab, lp in zip(labels, self.label_files):
+                        assert not len(lab) or lab[:, 0].max() < self.nc, (
+                            f"label class exceeds nc={self.nc} in {lp} "
+                            "(cached labels)")
                 return self._collapse(labels)
         # single_cls parses without the class<nc assert (raw files keep their
         # original multi-class ids), then collapses to 0 below

@@ -253,3 +253,54 @@ def test_rect_val_batches_match_harness_geometry(synth_root):
     assert n_seen == len(ds)
     # 3 native aspect ratios in the fixture -> 3 shape groups, each jit'd once
     assert len(canvases) == 3
+
+
+def test_loader_local_rows_match_global_batches(synth_root):
+    """Multi-process dataset sharding (PairedLoader.local_rows — the
+    DistributedSampler counterpart, reference datasets.py:119): each process's
+    slice of every batch must be BIT-IDENTICAL to the corresponding rows of
+    the single-process loader's global batches, augmentation included (sample
+    RNG is keyed on dataset index, not slot/process)."""
+    hyp = load_hyp_config()
+
+    def make(local_rows):
+        ds = PairedDetectionDataset(str(synth_root / "visible" / "train"),
+                                    str(synth_root / "infrared" / "train"),
+                                    img_size=320, hyp=hyp, augment=True, nc=3)
+        return PairedLoader(ds, batch_size=4, max_targets=16, seed=0,
+                            num_workers=2, local_rows=local_rows)
+
+    full = list(make(None).epoch(1))
+    lo = list(make((0, 2)).epoch(1))
+    hi = list(make((2, 4)).epoch(1))
+    assert len(full) == len(lo) == len(hi)
+    for f, a, b in zip(full, lo, hi):
+        for k in ("rgb", "ir", "targets", "mask"):
+            np.testing.assert_array_equal(f[k][:2], a[k])
+            np.testing.assert_array_equal(f[k][2:], b[k])
+
+
+def test_cached_labels_revalidated_against_nc(tmp_path):
+    """A label cache written by a single_cls run (class<nc assert skipped)
+    must not let out-of-range class ids through a later multi-class run
+    sharing the same cache (ADVICE r4; reference assert train.py:205-207)."""
+    root = tmp_path / "d"
+    for sub in ("visible", "infrared", "labels"):
+        (root / sub).mkdir(parents=True)
+    import cv2
+    img = np.zeros((64, 64, 3), np.uint8)
+    for i in range(2):
+        cv2.imwrite(str(root / "visible" / f"i{i}.jpg"), img)
+        cv2.imwrite(str(root / "infrared" / f"i{i}.jpg"), img)
+        # class id 7 is out of range for nc=3
+        (root / "labels" / f"i{i}.txt").write_text("7 0.5 0.5 0.2 0.2\n")
+    cache = tmp_path / "cache"
+    # single_cls run parses without the assert and writes the cache
+    ds1 = PairedDetectionDataset(str(root / "visible"), str(root / "infrared"),
+                                 img_size=64, nc=3, single_cls=True,
+                                 cache_dir=str(cache))
+    assert all(len(l) and l[:, 0].max() == 0 for l in ds1.labels)
+    # multi-class run over the same cache must reject the stale class ids
+    with pytest.raises(AssertionError, match="exceeds nc"):
+        PairedDetectionDataset(str(root / "visible"), str(root / "infrared"),
+                               img_size=64, nc=3, cache_dir=str(cache))

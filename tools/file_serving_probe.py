@@ -8,11 +8,13 @@ this probe measures the same end-to-end wall through our engine, both modes,
 and asserts the detections are identical.
 
 Environment caveat (CLAUDE.md): in THIS container H2D rides a ~30-50 MB/s
-tunnel, so upload dominates the file path and the decode/compute overlap the
-pipeline buys (~1.4 ms/pair decode vs ~1.5 ms/pair device compute at b32,
-i.e. near-2x on a normally-attached host) is capped at a few percent here.
-The numbers below are therefore a NO-REGRESSION check in this env, plus the
-per-stage breakdown that lets the real-hardware win be computed honestly.
+tunnel, so upload dominates the file path. Measured at the product 512x640
+geometry on this 1-CPU host (BENCH.md round 4): decode+letterbox is
+~28 ms/pair — comparable to or above the device compute — and the pipeline
+hides essentially all of it (1.16x end-to-end, 3.98 s of decode moved off
+the critical path over 141 pairs). On a normally-attached multi-core host
+the decode stage shrinks and the overlap win converges to decode/compute
+ratio; the per-stage breakdown below lets that be computed honestly.
 """
 
 import argparse
@@ -90,7 +92,8 @@ def main():
                 base = outs
             else:
                 assert len(outs) == len(base) and all(
-                    np.allclose(a, b) for a, b in zip(outs, base)), \
+                    a.shape == b.shape and np.allclose(a, b)
+                    for a, b in zip(outs, base)), \
                     "pipelined detections differ from serial"
 
     best_serial = min(results[False])
