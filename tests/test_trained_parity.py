@@ -202,3 +202,40 @@ def test_trained_parity_640_live_smoke(reference_dir):
     e = r["ours"]["fp32"]
     assert abs(e["map50_delta_vs_torch"]) <= 0.003, (
         f"640 live: delta {e['map50_delta_vs_torch'] * 100:+.3f} pts")
+
+
+# ---------------------------------------------------------------------------
+# FLAGSHIP instrument: yolov5l-Transfusion trained @ 640 (round 5). The
+# committed TRAINED_PARITY_L640.json is scored on the same 141-pair held-out
+# extval split, at the exact graph the bench headline and the reference's
+# published 82.8 are framed on (yolov5l, d_model-1024 fusion — README.md:56).
+# ---------------------------------------------------------------------------
+
+ARTIFACT_L640 = ROOT / "TRAINED_PARITY_L640.json"
+
+
+def test_trained_parity_l640_artifact_gate():
+    """Every scored numerics row of the FLAGSHIP (l-scale @640) parity
+    artifact is inside the 0.3-pt acceptance gate on the 141-pair held-out
+    instrument. Regenerate with the command in
+    artifacts/trained_l640/README.md."""
+    import json
+
+    if not ARTIFACT_L640.exists():
+        pytest.skip("TRAINED_PARITY_L640.json not in tree")
+    r = json.loads(ARTIFACT_L640.read_text())
+    assert r["imgsz"] == 640 and "yolov5l" in r["cfg"]
+    assert r["n_images"] >= 100 and r["n_gt"] >= 200, (
+        f"instrument too small: {r['n_images']} imgs / {r['n_gt']} boxes")
+    assert r["torch"]["map50"] > 0.9, f"torch side degenerate: {r['torch']}"
+    for tag in ("fp32", "bf16", "int8"):
+        e = r["ours"][tag]
+        assert abs(e["map50_delta_vs_torch"]) <= 0.003, (
+            f"{tag}: delta {e['map50_delta_vs_torch'] * 100:+.3f} pts "
+            f"exceeds the 0.3 gate")
+    rect = r["ours"]["fp32+rect"]
+    assert abs(rect["map50_delta_vs_torch"]) <= 0.003, rect
+    merged = [v for k, v in r["ours"].items() if k.startswith("fp32+merge")]
+    assert merged and abs(merged[0]["map50_delta_vs_fp_ours"]) <= 1e-3, merged
+    a = r["ours"]["fp32"]["agreement_conf0.01_vs_torch"]
+    assert a["match_rate"] > 0.97 and a["mean_iou"] > 0.98, a
