@@ -363,6 +363,33 @@ def fit(cfg: FitConfig) -> dict:
     step = steps[1.0]
     scale_rng = np.random.default_rng(cfg.seed + 1)
 
+    if n_proc > 1:
+        # Cross-process collective contexts (gloo on CPU test clusters) are
+        # established at the step's FIRST EXECUTION with a short rendezvous
+        # timeout; if one process is still compiling while another already
+        # executes, the rendezvous expires (measured: a 2m45s XLA compile vs
+        # gloo's 30s). So AOT-compile every bucket on every process first,
+        # then rendezvous via the gRPC coordination service (generous
+        # timeout, no device collective) so first executions land together.
+        B = cfg.batch_size * accum
+        H, W = sample["rgb"].shape[1], sample["rgb"].shape[2]
+        sds = [jax.ShapeDtypeStruct((B, H, W, 3), jnp.uint8),
+               jax.ShapeDtypeStruct((B, H, W, 3), jnp.uint8),
+               jax.ShapeDtypeStruct((B, cfg.max_targets, 5), jnp.float32),
+               jax.ShapeDtypeStruct((B, cfg.max_targets), jnp.bool_)]
+        # rebind each bucket to its COMPILED executable — the jit wrapper
+        # would re-trace + reload from the persistent cache at first call,
+        # and that skew alone can exceed the rendezvous window
+        steps = {s: steps[s].lower(state, *sds).compile() for s in scales}
+        step = steps[1.0]
+        from jax._src import distributed as _distributed
+        client = _distributed.global_state.client
+        if client is not None:
+            client.wait_at_barrier(f"icafusion_fit_compiled_{run_dir.name}",
+                                   60 * 60 * 1000)
+        log("multi-process: train step AOT-compiled on all processes, "
+            "rendezvous complete")
+
     ref_csv = cfg.results_format == "reference"
     evaluator = Evaluator(model=model, nc=cfg.data_cfg.nc,
                           loss_fn=trainer.loss_fn if ref_csv else None,

@@ -6,11 +6,15 @@ barrier torch_utils.py:27-36, rank-0 eval/ckpt gates). This tool proves the
 TPU-native counterpart executes for real — not a monkeypatch:
 
 1. generates a small synthetic paired dataset;
-2. runs the FULL fit() driver as a 1-process 8-device baseline
-   (XLA_FLAGS=--xla_force_host_platform_device_count=8);
+2. runs the FULL fit() driver as a 1-process baseline over 2*D virtual CPU
+   devices (XLA_FLAGS=--xla_force_host_platform_device_count);
 3. runs the SAME fit() as a genuine 2-process JAX cluster
-   (jax.distributed.initialize over a localhost coordinator, 4 virtual CPU
-   devices per process, Gloo cross-process collectives) — per-process dataset
+   (jax.distributed.initialize over a localhost coordinator, D virtual CPU
+   devices per process — default D=2; this 1-CPU container schedules every
+   virtual device's compute plus the gloo rendezvous threads on one core,
+   and 8 ranks can starve gloo's 30s context-init window — real pods use
+   ICI/DCN, not gloo, so the cap is a test-harness property, not a framework
+   one — Gloo cross-process collectives) — per-process dataset
    sharding (PairedLoader.local_rows), global batch assembly via
    jax.make_array_from_process_local_data (parallel/mesh.shard_batch),
    replicated state via make_array_from_callback, process-0-only csv/ckpt/eval;
@@ -42,7 +46,7 @@ def probe_main(args):
     """Per-STEP full-precision loss probe: Trainer + PairedLoader + the mesh
     helpers directly, N steps of epoch 0. The strict instrument — before
     training dynamics can amplify collective-reduction-order noise, the
-    1x8 and 2x4 losses must agree to float32 epsilon levels."""
+    1x(2D) and 2xD losses must agree to float32 epsilon levels."""
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", str(ROOT / ".jax_cache"))
@@ -65,7 +69,8 @@ def probe_main(args):
                                              replicate_tree, shard_batch)
     from icafusion_tpu.train.trainer import Trainer
 
-    assert jax.device_count() == 8, jax.devices()
+    if args.expect_devices:
+        assert jax.device_count() == args.expect_devices, jax.devices()
     work = Path(args.workdir)
     hyp = load_hyp_config(None).replace(mosaic=0.5, warmup_epochs=1.0)
     ds = PairedDetectionDataset(str(work / "data/visible/train"),
@@ -93,6 +98,22 @@ def probe_main(args):
 
     step = jax.jit(step_u8, in_shardings=(repl, data, data, data, data),
                    out_shardings=(repl, repl), donate_argnums=(0,))
+    if args.num_processes > 1:
+        # same compile-skew guard as fit(): AOT-compile, then rendezvous via
+        # the coordination service BEFORE the first execution — gloo's
+        # context-init rendezvous at first execution is only ~30 s, and a
+        # warm-vs-cold compile cache across processes blows it
+        sds = [jax.ShapeDtypeStruct((B, 64, 64, 3), jnp.uint8),
+               jax.ShapeDtypeStruct((B, 64, 64, 3), jnp.uint8),
+               jax.ShapeDtypeStruct((B, 16, 5), jnp.float32),
+               jax.ShapeDtypeStruct((B, 16), jnp.bool_)]
+        # rebind to the COMPILED executable: calling the jit wrapper would
+        # re-trace and re-load from the persistent cache at first call, and
+        # that deserialization skew alone can blow the 30s window
+        step = step.lower(state, *sds).compile()
+        from jax._src import distributed as _dist
+        _dist.global_state.client.wait_at_barrier("icafusion_probe_compiled",
+                                                  60 * 60 * 1000)
     losses = []
     for i, b in enumerate(loader.epoch(0)):
         if i >= args.probe_steps:
@@ -123,7 +144,8 @@ def worker_main(args):
     from icafusion_tpu.models.zoo import tiny_icafusion_config
     from icafusion_tpu.train.fit import FitConfig, fit
 
-    assert jax.device_count() == 8, jax.devices()
+    if args.expect_devices:
+        assert jax.device_count() == args.expect_devices, jax.devices()
     assert jax.process_count() == args.num_processes
 
     work = Path(args.workdir)
@@ -178,6 +200,13 @@ def main():
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--n", type=int, default=64)
+    ap.add_argument("--local-devices", type=int, default=2,
+                    help="virtual CPU devices per cluster process (total = "
+                         "2x this; kept small — this 1-CPU host runs every "
+                         "virtual device's compute AND the gloo rendezvous "
+                         "threads on one core, and 8 ranks can starve the "
+                         "30s context-init window)")
+    ap.add_argument("--expect-devices", type=int, default=0)
     ap.add_argument("--probe", action="store_true",
                     help="(worker) per-step probe mode instead of full fit()")
     ap.add_argument("--probe-steps", type=int, default=5)
@@ -189,8 +218,15 @@ def main():
                          "BN updates over an epoch (measured: exact at epoch "
                          "0, ~3e-4 by epoch 1). The strict equality check is "
                          "the per-STEP probe (--probe-tol).")
-    ap.add_argument("--probe-tol", type=float, default=2e-5,
-                    help="max abs per-step loss delta over the first steps")
+    ap.add_argument("--probe-tol", type=float, default=2e-4,
+                    help="max abs loss delta over the first probe steps "
+                         "(reduction-order noise compounds chaotically "
+                         "through SGD/BN: measured 1.2e-7 at step 1 growing "
+                         "to ~7e-5 by step 5)")
+    ap.add_argument("--probe-step1-tol", type=float, default=5e-6,
+                    help="the STRICT gate: step-1 loss delta before any "
+                         "parameter update can compound — pure forward+loss "
+                         "+grad reduction equivalence (measured ~1e-7)")
     ap.add_argument("--write-json", default="")
     args = ap.parse_args()
 
@@ -208,21 +244,25 @@ def main():
                      hw=(96, 128))
         print(f"dataset: {args.n} pairs under {work / 'data'}")
 
+    D = args.local_devices          # devices per cluster process
+    T = 2 * D                       # total devices (baseline runs 1 x T)
+    base_flags = {"XLA_FLAGS": f"--xla_force_host_platform_device_count={T}"}
+    clus_flags = {"XLA_FLAGS": f"--xla_force_host_platform_device_count={D}"}
     common = ["--worker", "--workdir", str(work), "--epochs", str(args.epochs),
-              "--batch", str(args.batch)]
+              "--batch", str(args.batch), "--expect-devices", str(T)]
 
-    # --- per-step strict probe: 1x8 vs 2x4, first steps, full precision ---
+    # --- per-step strict probe: 1xT vs 2xD, first steps, full precision ---
     probe = ["--worker", "--probe", "--workdir", str(work),
-             "--batch", str(args.batch), "--probe-steps", str(args.probe_steps)]
-    print("probe: per-step losses, 1 process x 8 devices ...")
-    p, f = launch({"XLA_FLAGS": "--xla_force_host_platform_device_count=8"},
-                  probe, work / "probe_base.log")
+             "--batch", str(args.batch), "--probe-steps", str(args.probe_steps),
+             "--expect-devices", str(T)]
+    print(f"probe: per-step losses, 1 process x {T} devices ...")
+    p, f = launch(base_flags, probe, work / "probe_base.log")
     rc = p.wait()
     f.close()
     assert rc == 0, f"probe baseline failed: {work / 'probe_base.log'}"
     port = free_port()
-    print("probe: per-step losses, 2 processes x 4 devices ...")
-    procs = [launch({"XLA_FLAGS": "--xla_force_host_platform_device_count=4"},
+    print(f"probe: per-step losses, 2 processes x {D} devices ...")
+    procs = [launch(clus_flags,
                     probe + ["--num-processes", "2", "--process-id", str(pid),
                              "--coordinator", f"localhost:{port}"],
                     work / f"probe_mp{pid}.log") for pid in range(2)]
@@ -233,25 +273,27 @@ def main():
     pb = json.loads((work / "probe_base.json").read_text())
     pm = json.loads((work / "probe_mp.json").read_text())
     step_d = max(abs(a - b) for a, b in zip(pb, pm))
-    print(f"per-step loss delta over first {len(pb)} steps: max {step_d:.2e} "
-          f"(tol {args.probe_tol:.0e})")
+    step1_d = abs(pb[0] - pm[0])
+    print(f"probe: step-1 loss delta {step1_d:.2e} (strict tol "
+          f"{args.probe_step1_tol:.0e}); max over {len(pb)} steps "
+          f"{step_d:.2e} (tol {args.probe_tol:.0e})")
+    assert step1_d <= args.probe_step1_tol, (pb, pm)
     assert step_d <= args.probe_tol, (pb, pm)
 
-    # 1-process 8-device baseline
-    print("baseline: 1 process x 8 devices ...")
-    p, f = launch({"XLA_FLAGS": "--xla_force_host_platform_device_count=8"},
-                  common + ["--run-name", "base"], work / "base.log")
+    # 1-process baseline
+    print(f"baseline: 1 process x {T} devices ...")
+    p, f = launch(base_flags, common + ["--run-name", "base"], work / "base.log")
     rc = p.wait()
     f.close()
     assert rc == 0, f"baseline failed (rc={rc}): {work / 'base.log'}"
 
-    # 2-process x 4-device cluster
+    # 2-process cluster
     port = free_port()
-    print(f"cluster: 2 processes x 4 devices (coordinator localhost:{port}) ...")
+    print(f"cluster: 2 processes x {D} devices (coordinator localhost:{port}) ...")
     procs = []
     for pid in range(2):
         procs.append(launch(
-            {"XLA_FLAGS": "--xla_force_host_platform_device_count=4"},
+            clus_flags,
             common + ["--run-name", "mp", "--num-processes", "2",
                       "--process-id", str(pid),
                       "--coordinator", f"localhost:{port}"],
@@ -269,14 +311,17 @@ def main():
         for k in ("lbox", "lobj", "lcls"):
             max_d = max(max_d, abs(b[k] - m[k]))
     verdict = "MATCH" if max_d <= args.tol else "MISMATCH"
-    print(f"per-epoch loss delta (1x8 vs 2x4): max {max_d:.2e} "
+    print(f"per-epoch loss delta (1x{T} vs 2x{D}): max {max_d:.2e} "
           f"(tol {args.tol:.0e}) -> {verdict}")
     payload = {
-        "what": "real 2-process JAX cluster fit() vs 1-process 8-device fit(), "
-                "same data/seed; per-epoch loss columns compared",
-        "devices": "CPU, xla_force_host_platform_device_count (4x2 vs 8x1)",
+        "what": "real 2-process JAX cluster fit() vs 1-process fit() on the "
+                "same total devices, same data/seed; per-epoch loss columns "
+                "compared",
+        "devices": f"CPU, xla_force_host_platform_device_count ({D}x2 vs {T}x1)",
         "epochs": args.epochs, "batch": args.batch, "n_pairs": args.n,
         "per_step_probe": {"baseline": pb, "multiprocess": pm,
+                           "step1_abs_delta": step1_d,
+                           "step1_tol": args.probe_step1_tol,
                            "max_abs_delta": step_d, "tol": args.probe_tol},
         "baseline": base, "multiprocess": mp,
         "max_abs_loss_delta": max_d, "tol": args.tol, "verdict": verdict,
