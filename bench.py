@@ -221,7 +221,7 @@ def bench_train(args):
     from icafusion_tpu.train.loss import pad_targets
     from icafusion_tpu.train.trainer import Trainer
 
-    B = min(args.batch, 16)
+    B = args.batch
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     cfg = icafusion_config(args.scale, nc=3, fusion="tfb")
     model = build_model(cfg, dtype=dtype)
