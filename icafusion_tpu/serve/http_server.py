@@ -205,7 +205,15 @@ def main(argv=None):
     BATCHER.warmup()
     print(f"serving on :{args.port} (POST /v1/detect, GET /v1/stats; "
           f"micro-batching buckets {BATCHER.buckets})")
-    ThreadingHTTPServer(("0.0.0.0", args.port), Handler).serve_forever()
+
+    class _Server(ThreadingHTTPServer):
+        # stdlib default backlog is 5: a 32-way concurrent client burst
+        # overflows it into kernel SYN-cookie resets (measured by the round-5
+        # HTTP soak). Size it for real concurrent load.
+        request_queue_size = 128
+        daemon_threads = True
+
+    _Server(("0.0.0.0", args.port), Handler).serve_forever()
 
 
 if __name__ == "__main__":
