@@ -57,6 +57,14 @@ def parse_args(argv=None):
                          "(block-diagonal kernels, identical outputs) — MXU "
                          "lane recovery (utils/stream_merge.py); 'auto' merges "
                          "exactly the lane-starved prefix")
+    ap.add_argument("--confluence", action="store_true",
+                    help="replace NMS with confluence clustering — the "
+                         "reference's optional swap-in (commented at "
+                         "test.py:140; utils/confluence.py). Host-side and "
+                         "quadratic in candidates per class: raise "
+                         "--conf-thres (e.g. 0.1) with it")
+    ap.add_argument("--confluence-p", type=float, default=0.6,
+                    help="confluence proximity threshold (reference default)")
     ap.add_argument("--coco-gt", default=None,
                     help="COCO annotations json: run the full AP/AR suite on "
                          "the saved detections (test.py:329-352; implies "
@@ -135,7 +143,8 @@ def run_study(args, data_cfg, model, variables, rgb_dir: str, ir_dir: str):
     save_dir.mkdir(parents=True, exist_ok=True)
     ev = Evaluator(model=model, nc=data_cfg.nc, conf_thres=args.conf_thres,
                    iou_thres=args.iou_thres, single_cls=args.single_cls,
-                   augment=args.augment)
+                   augment=args.augment, confluence=args.confluence,
+                   confluence_p=args.confluence_p)
     rows = []
     for s in sizes:
         print(f"study point: imgsz={s} ...")
@@ -195,7 +204,8 @@ def main(argv=None):
 
     ev = Evaluator(model=model, nc=data_cfg.nc, conf_thres=args.conf_thres,
                    iou_thres=args.iou_thres, single_cls=args.single_cls,
-                   augment=args.augment)
+                   augment=args.augment, confluence=args.confluence,
+                   confluence_p=args.confluence_p)
     save_dir = Path(args.save_dir)
     mr_dir = str(save_dir / "labels") if (args.save_txt or args.kaist_ann) else None
     save_json = args.save_json or args.coco_gt is not None

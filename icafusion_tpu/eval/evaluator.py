@@ -92,6 +92,15 @@ class Evaluator:
     top_k: int = 8192                    # candidate pool at conf 0.001
     single_cls: bool = False             # force class 0 (test.py:157-158)
     augment: bool = False                # TTA ensemble (test.py:128 augment=)
+    # confluence post-process instead of NMS — the reference's optional
+    # swap-in, commented out at test.py:140 (utils/confluence.py:50-106).
+    # The jitted program then returns the decoded predictions and the
+    # Manhattan-proximity clustering runs on the host (inherently sequential,
+    # data-dependent trip counts — ops/confluence.py); conf_thres gates the
+    # candidate pool, so raise it (e.g. 0.1) — clustering cost is quadratic
+    # in candidates per class.
+    confluence: bool = False
+    confluence_p: float = 0.6            # proximity threshold (confluence.py:67)
     n_devices: Optional[int] = None      # shard eval batches over a data mesh
     # optional val loss during eval (the reference computes it from the raw
     # fmaps the eval forward already produced — test.py:128-133); pass the
@@ -116,6 +125,8 @@ class Evaluator:
                 pred = tta_inference(model, variables, rgb, ir)
             else:
                 pred, _, _ = model.apply(variables, rgb, ir, train=False, decode=True)
+            if self.confluence:
+                return pred          # clustering happens host-side in run()
             return non_max_suppression(pred, conf_thres=self.conf_thres,
                                        iou_thres=self.iou_thres, multi_label=True,
                                        agnostic=self.single_cls,
@@ -127,6 +138,8 @@ class Evaluator:
             pred, _, fmaps = model.apply(variables, rgb, ir, train=False,
                                          decode=True)
             _, items = loss_fn(fmaps, targets, mask)
+            if self.confluence:
+                return pred, items
             dets = non_max_suppression(pred, conf_thres=self.conf_thres,
                                        iou_thres=self.iou_thres, multi_label=True,
                                        agnostic=self.single_cls,
@@ -207,7 +220,13 @@ class Evaluator:
                 loss_n += 1
             else:
                 dets = self._infer(variables, rgb, ir)
-            det_list = detections_to_numpy(dets)  # forces device sync
+            if self.confluence:
+                from icafusion_tpu.ops.confluence import confluence_process
+                det_list = confluence_process(
+                    np.asarray(jax.device_get(dets)),
+                    conf_thres=self.conf_thres, p_thres=self.confluence_p)
+            else:
+                det_list = detections_to_numpy(dets)  # forces device sync
             # skip batch 0 (compile) and batch 1 (post-compile warm-up
             # artifact — CLAUDE.md); remaining timing includes the per-batch
             # D2H fetch, which the eval loop genuinely pays (over this dev

@@ -115,6 +115,35 @@ def test_evaluator_no_predictions():
     out = ev.run(None, [_val_batch(img_size, 1, 320, 320, labels)], img_size)
     assert out["map50"] == 0.0
 
+def test_evaluator_confluence_swap_in():
+    """Evaluator(confluence=True): the reference's commented NMS alternative
+    (test.py:140) — decoded predictions come back to the host and go through
+    confluence_process; duplicates are clustered away, the metrics chain is
+    unchanged."""
+    from icafusion_tpu.ops.confluence import confluence_process
+
+    img_size = 320
+    labels = np.array([[0, 0.5, 0.5, 0.25, 0.25]], np.float32)
+    pred = np.zeros((8, 8), np.float32)
+    # exact box + a near-duplicate (cluster) + a far box (second GT-less det)
+    pred[0] = [160, 160, 80, 80, 0.95, 0.99, 0.005, 0.005]
+    pred[1] = [162, 161, 80, 80, 0.90, 0.98, 0.005, 0.005]
+    pred[2] = [40, 40, 30, 30, 0.80, 0.97, 0.005, 0.005]
+    ev = Evaluator(model=StubModel(pred), nc=3, conf_thres=0.1,
+                   confluence=True)
+    out = ev.run(None, [_val_batch(img_size, 2, img_size, img_size, labels)],
+                 img_size)
+    # the exact box survives clustering and matches the GT
+    assert out["map50"] == pytest.approx(1.0, abs=0.02)
+    assert out["seen"] == 2
+    # the evaluator's det set equals a direct confluence_process on the raw
+    # decoded predictions (same conf gate, same proximity threshold)
+    direct = confluence_process(pred[None], conf_thres=0.1, p_thres=0.6)[0]
+    assert len(direct) == 2  # duplicate removed, far box kept
+    stats_conf = np.sort(direct[:, 4])
+    assert np.allclose(stats_conf, [0.8 * 0.97, 0.95 * 0.99], atol=1e-6)
+
+
 def test_evaluator_reports_timing():
     """t_total_ms: end-to-end ms/img with the first (compile) batch excluded."""
     img_size = 320
