@@ -85,6 +85,34 @@ def test_evaluator_sharded_over_8_devices(tiny_model):
     np.testing.assert_allclose(out8["map"], out1["map"], atol=1e-6)
 
 
+def test_evaluator_confluence_sharded_matches_single(tiny_model):
+    """confluence eval over the mesh: the jitted program returns the raw
+    decoded predictions SHARDED on the data axis; device_get must assemble
+    the global array before the host-side clustering — sharded and
+    single-device runs must agree exactly."""
+    from icafusion_tpu.eval.evaluator import Evaluator
+    model, variables = tiny_model
+    ev8 = Evaluator(model=model, nc=3, n_devices=8, conf_thres=0.1,
+                    confluence=True)
+    ev1 = Evaluator(model=model, nc=3, conf_thres=0.1, confluence=True)
+
+    def batches():
+        rng = np.random.default_rng(5)
+        rgb = rng.integers(0, 255, (8, 64, 64, 3), dtype=np.uint8)
+        ir = rng.integers(0, 255, (8, 64, 64, 3), dtype=np.uint8)
+        labels = [np.array([[0, 0.5, 0.5, 0.4, 0.4]], np.float32)
+                  for _ in range(8)]
+        shapes = [((64, 64), ((1.0, 1.0), (0.0, 0.0)))] * 8
+        yield {"rgb": rgb, "ir": ir, "labels": labels, "shapes": shapes,
+               "count": 8, "paths": [f"i{k}" for k in range(8)]}
+
+    out8 = ev8.run(dict(variables), batches(), 64)
+    out1 = ev1.run(dict(variables), batches(), 64)
+    assert out8["seen"] == out1["seen"] == 8
+    np.testing.assert_allclose(out8["map50"], out1["map50"], atol=1e-6)
+    np.testing.assert_allclose(out8["map"], out1["map"], atol=1e-6)
+
+
 def test_resolve_accum_rule():
     from icafusion_tpu.cli.train import resolve_accum
     assert resolve_accum(None, 8) == 1
