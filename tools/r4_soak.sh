@@ -11,7 +11,7 @@ set -u
 cd "$(dirname "$0")/.."
 export PYTHONPATH=$PWD:${PYTHONPATH:-}
 WORK=${1:-runs/soak}
-LOG=docs/r04_soak
+LOG=${LOG:-docs/r04_soak}   # e.g. LOG=docs/r05_soak for a round-5 re-run
 mkdir -p "$LOG"
 
 run() { # name cmd...
