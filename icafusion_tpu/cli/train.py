@@ -41,6 +41,13 @@ def parse_args(argv=None):
     ap.add_argument("--accum", default=None,
                     help="gradient accumulation: an integer, or 'auto' for the "
                          "reference nbs=64 rule (train.py:123-124)")
+    ap.add_argument("--freeze", nargs="+", default=[], metavar="NAME",
+                    help="freeze parameters whose /-joined path contains any "
+                         "NAME (substring, like the reference's freeze hook, "
+                         "train.py:115-120). Anchor at the top level with a "
+                         "leading slash: '/m0/' freezes layer 0 only, while "
+                         "bare 'm0' also hits C3-internal m0 bottlenecks; "
+                         "every frozen param is printed")
     ap.add_argument("--adam", action="store_true",
                     help="Adam optimizer, betas=(momentum, 0.999) "
                          "(reference train.py:128-146)")
@@ -135,7 +142,8 @@ def main(argv=None):
             merge_streams=resolve_merge(args.merge_streams, model_cfg),
             results_format=args.results_format, kaist_ann=args.kaist_ann,
             linear_lr=args.linear_lr, single_cls=args.single_cls,
-            nosave=args.nosave, notest=args.notest)
+            nosave=args.nosave, notest=args.notest,
+            freeze=tuple(args.freeze))
 
     if args.evolve:
         # GA over the hyp space: each generation is a short fit() run scored

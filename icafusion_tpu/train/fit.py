@@ -162,6 +162,9 @@ class FitConfig:
     # linear LR decay instead of one-cycle cosine (reference --linear-lr,
     # train.py:148-152)
     linear_lr: bool = False
+    # substring-match parameter freeze — the reference's transfer-learning
+    # hook (train.py:115-120; names in our layout, e.g. 'm0' or 'm23/cv3')
+    freeze: tuple = ()
     # treat the dataset as single-class: every label becomes class 0
     # (reference --single-cls, train.py / datasets.py:393); pair with a
     # model_cfg/data_cfg resolved at nc=1 — cli/train.py does both
@@ -303,12 +306,24 @@ def fit(cfg: FitConfig) -> dict:
                       batch_size=cfg.batch_size, imgsz=cfg.imgsz,
                       warmup_min_steps=cfg.warmup_min_steps,
                       accum_steps=accum, adam=cfg.adam,
-                      linear_lr=cfg.linear_lr)
+                      linear_lr=cfg.linear_lr, freeze=tuple(cfg.freeze))
 
     sample = next(iter(loader.epoch(0)))
     state = trainer.init_state(jax.random.PRNGKey(cfg.seed),
                                sample["rgb"][:1].astype(np.float32),
                                sample["ir"][:1].astype(np.float32))
+
+    if cfg.freeze:
+        # reference prints each frozen parameter (train.py:118-120)
+        from icafusion_tpu.train.optim import _is_frozen, _path_str
+        paths = [p for p, _ in
+                 jax.tree_util.tree_flatten_with_path(state.params)[0]]
+        frozen = [_path_str(p) for p in paths
+                  if _is_frozen(p, tuple(cfg.freeze))]
+        assert frozen, f"--freeze {cfg.freeze} matched no parameters"
+        for k in frozen:
+            log(f"freezing {k}")
+        log(f"frozen: {len(frozen)}/{len(paths)} params")
 
     if cfg.pretrained:
         state = _load_pretrained(cfg.pretrained, state, model)

@@ -52,6 +52,27 @@ def _is_bn_scale(path) -> bool:
     return "bn" in parent
 
 
+def _path_str(path) -> str:
+    return "/".join(p.key if hasattr(p, "key") else str(p) for p in path)
+
+
+def _is_frozen(path, freeze: Tuple[str, ...]) -> bool:
+    """Reference freeze hook (train.py:115-120): substring match against the
+    parameter name — `any(x in k for x in freeze)` — sets requires_grad=False.
+    Here the name is the slash-joined flax path with a LEADING slash
+    (reference `model.0.conv.weight` ≙ `/m0/conv/kernel`); a frozen param
+    receives no update and no decay. Bare substrings match anywhere (`m0`
+    also hits the C3-internal bottlenecks `/m12/m0/...`); an entry with a
+    LEADING slash must match from the start of the path — `/m0/` freezes
+    layer 0 only — the counterpart of upstream YOLOv5's `model.0.`
+    trailing-dot convention."""
+    if not freeze:
+        return False
+    k = "/" + _path_str(path)
+    return any(k.startswith(x) if x.startswith("/") else x in k
+               for x in freeze)
+
+
 def _is_unrouted(path) -> bool:
     """Params the reference optimizer never sees (pos_emb, LearnableWeights,
     CrossTransformerBlock coefficients are named 'coefficients' here but map to
@@ -90,6 +111,9 @@ class YoloSGD:
     nbs: int = 64                  # nominal batch size (train.py:123)
     linear_lr: bool = False
     freeze_unrouted: bool = False
+    # substring-match parameter freeze — the reference's transfer-learning
+    # hook (train.py:115-120, shipped as an empty list there)
+    freeze: Tuple[str, ...] = ()
     warmup_min_steps: int = 1000   # reference floor (train.py:264: nw >= 1000)
 
     @property
@@ -145,7 +169,8 @@ class YoloSGD:
 
         def upd(path, p, g, buf):
             grp = param_group(path)
-            if self.freeze_unrouted and _is_unrouted(path):
+            if (self.freeze_unrouted and _is_unrouted(path)) or \
+                    _is_frozen(path, self.freeze):
                 return p, buf
             g = g.astype(jnp.float32)
             if grp == 1:
@@ -191,7 +216,8 @@ class YoloAdam(YoloSGD):
 
         def upd(path, p, g, m, v):
             grp = param_group(path)
-            if self.freeze_unrouted and _is_unrouted(path):
+            if (self.freeze_unrouted and _is_unrouted(path)) or \
+                    _is_frozen(path, self.freeze):
                 return p, m, v
             g = g.astype(jnp.float32)
             if grp == 1:

@@ -68,6 +68,7 @@ class Trainer:
     warmup_min_steps: int = 1000
     adam: bool = False              # reference --adam (train.py:128-146)
     linear_lr: bool = False         # reference --linear-lr (train.py:148-152)
+    freeze: tuple = ()              # substring param freeze (train.py:115-120)
 
     def __post_init__(self):
         cfg = self.model.cfg
@@ -81,7 +82,8 @@ class Trainer:
                                  steps_per_epoch=self.steps_per_epoch,
                                  total_batch_size=self.batch_size * self.accum_steps,
                                  warmup_min_steps=self.warmup_min_steps,
-                                 linear_lr=self.linear_lr)
+                                 linear_lr=self.linear_lr,
+                                 freeze=tuple(self.freeze))
 
     def init_state(self, rng, sample_rgb, sample_ir,
                    variables: Any = None) -> TrainState:

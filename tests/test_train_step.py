@@ -78,6 +78,51 @@ def tiny_trainer():
     return tr, state, (rgb, ir, t, m)
 
 
+def test_freeze_substring_match():
+    """optim._is_frozen mirrors the reference's `any(x in k for x in freeze)`
+    (train.py:115-120): substring, not prefix."""
+    from jax.tree_util import DictKey
+
+    from icafusion_tpu.train.optim import _is_frozen
+    p = lambda *names: tuple(DictKey(n) for n in names)
+    assert _is_frozen(p("m0", "conv", "kernel"), ("m0",))
+    assert _is_frozen(p("m23", "cv3", "conv", "kernel"), ("m23/cv3",))
+    assert _is_frozen(p("m10", "bn", "scale"), ("bn",))   # substring semantics
+    assert not _is_frozen(p("m1", "conv", "kernel"), ("m0",))
+    assert not _is_frozen(p("m1", "conv", "kernel"), ())
+    # leading-slash anchor: layer 0 only, not the C3-internal m0 bottleneck
+    assert _is_frozen(p("m0", "conv", "kernel"), ("/m0/",))
+    assert not _is_frozen(p("m12", "m0", "cv1", "conv", "kernel"), ("/m0/",))
+    assert _is_frozen(p("m12", "m0", "cv1", "conv", "kernel"), ("m0",))
+
+
+def test_frozen_params_do_not_move(tiny_trainer):
+    """Trainer(freeze=...): frozen subtrees are bit-identical after optimizer
+    steps while the rest train (reference requires_grad=False contract)."""
+    tr, _, (rgb, ir, t, m) = tiny_trainer
+    ftr = Trainer(model=tr.model, hyp=HYP, epochs=3, steps_per_epoch=10,
+                  batch_size=4, imgsz=64, freeze=("m0", "m1/"))
+    state = ftr.init_state(jax.random.PRNGKey(0), rgb[:1], ir[:1])
+    before = jax.device_get(state.params)
+    step = jax.jit(ftr.make_train_step())
+    for _ in range(3):
+        state, metrics = step(state, rgb, ir, t, m)
+    assert np.isfinite(float(metrics["loss"]))
+    after = jax.device_get(state.params)
+    from icafusion_tpu.train.optim import _is_frozen, _path_str
+    flat_b = jax.tree_util.tree_flatten_with_path(before)[0]
+    flat_a = jax.tree_util.tree_flatten_with_path(after)[0]
+    n_frozen = n_moved = 0
+    for (pb, vb), (pa, va) in zip(flat_b, flat_a):
+        assert _path_str(pb) == _path_str(pa)
+        if _is_frozen(pb, ("m0", "m1/")):
+            np.testing.assert_array_equal(vb, va, err_msg=_path_str(pb))
+            n_frozen += 1
+        elif not np.array_equal(vb, va):
+            n_moved += 1
+    assert n_frozen > 0 and n_moved > 0, (n_frozen, n_moved)
+
+
 @pytest.mark.slow
 def test_train_step_runs_and_learns(tiny_trainer):
     tr, state, (rgb, ir, t, m) = tiny_trainer
